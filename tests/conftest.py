@@ -1,0 +1,30 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware by forcing the host
+platform to expose 8 CPU devices (SURVEY.md section 4). Environment variables
+must be set before jax initializes its backends, hence the top-of-file order.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected >=8 virtual devices, got {len(devs)}"
+    return devs
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
