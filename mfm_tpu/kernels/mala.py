@@ -65,14 +65,17 @@ def build_kernel(value_and_score: Callable) -> Callable:
         )
         prop_logdensity, prop_grad = value_and_score(proposed)
 
-        # asymmetric MH: accept with min(1, exp(E(prop->cur) - E(cur->prop)))
+        # asymmetric MH. With E(a -> b) = -log pi(a) - log q(b | a) + const,
+        # the acceptance ratio pi(x')q(x|x') / (pi(x)q(x'|x)) is
+        # exp(E(cur -> prop) - E(prop -> cur)); invariance verified in
+        # tests/test_mala.py::test_gaussian_invariance.
         fwd = _transition_energy(
             state.logdensity, state.position, state.logdensity_grad, proposed, step_size
         )
         bwd = _transition_energy(
             prop_logdensity, proposed, prop_grad, state.position, step_size
         )
-        delta = bwd - fwd
+        delta = fwd - bwd
         delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
         p_accept = jnp.clip(jnp.exp(delta), max=1.0)
         accept = jax.random.uniform(key_accept, (n_chain,)) < p_accept
