@@ -1,0 +1,139 @@
+"""CNF transport: batched push-forward / inverse with log-determinant.
+
+Behavioral parity with the reference ``transform_and_logdet`` /
+``inverse_and_logdet`` (/root/reference/exe_flow_matching.py:206-242), with
+two TPU-first changes:
+
+1. **Whole-ensemble transport.** One ODE solve carries the full (B, d)
+   batch; every integrator stage is a single batched vector-field GEMM pass
+   instead of B independent adaptive solves under vmap.
+2. **Explicit log-det convention.** ``forward`` maps u -> x and returns
+   ``logdet = int_0^1 div v(x_t, t) dt`` = log|det dx/du|, so the flow
+   density is ``log q(x) = log q0(u) - logdet``. ``inverse`` maps x -> u and
+   returns the *same* quantity accumulated along the reverse path (the
+   reference encodes this via sign games on 'delta vol',
+   exe_flow_matching.py:218-239; here the sign convention is explicit and
+   tested by forward/inverse round-trips).
+
+Divergence estimators (reference exe_flow_matching.py:211-217):
+
+- ``exact``      trace of the per-sample Jacobian via vmapped ``jacfwd``
+                 (O(d) extra forward passes; use for small d)
+- ``hutchinson`` one Gaussian probe per sample per transform, a single
+                 batched JVP per stage (the d > threshold default)
+"""
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mfm_tpu.flows.ode import odeint_grid, odeint_grid_save
+
+
+def exact_divergence(apply_fn: Callable) -> Callable:
+    """div v(x, t) via per-sample Jacobian trace; (params, (B,d), (B,)) -> (B,)."""
+
+    def div(params, x, t, probe=None):
+        def single(xi, ti):
+            jac = jax.jacfwd(lambda u: apply_fn(params, u, ti))(xi)
+            return jnp.trace(jac)
+
+        return jax.vmap(single)(x, t)
+
+    return div
+
+
+def hutchinson_divergence(apply_fn: Callable) -> Callable:
+    """Hutchinson estimate probe^T (dv/dx) probe with one batched JVP."""
+
+    def div(params, x, t, probe):
+        _, jvp = jax.jvp(lambda u: apply_fn(params, u, t), (x,), (probe,))
+        return jnp.sum(probe * jvp, axis=-1)
+
+    return div
+
+
+class Transport(NamedTuple):
+    """Batched CNF transport functions.
+
+    forward(params, u, key=None)  -> (x, logdet)   u: (B, d)
+    inverse(params, x, key=None)  -> (u, logdet)
+    forward_traj(params, u, save_ts, key=None) -> (S, B, d) trajectory
+    """
+
+    forward: Callable
+    inverse: Callable
+    forward_traj: Callable
+
+
+def make_transport(
+    apply_fn: Callable,
+    divergence: str = "exact",
+    n_steps: int = 24,
+    method: str = "rk4",
+) -> Transport:
+    """Build ensemble transport for a batch-first vector field ``apply_fn``.
+
+    ``divergence`` is 'exact' or 'hutchinson'; the Hutchinson path draws one
+    probe per sample per call from the supplied key (parity with the
+    reference's per-transform probe, exe_flow_matching.py:211-214).
+    """
+    div_fn = {
+        "exact": exact_divergence,
+        "hutchinson": hutchinson_divergence,
+    }[divergence](apply_fn)
+    needs_probe = divergence == "hutchinson"
+
+    def _probe(key, x):
+        if not needs_probe:
+            return None
+        if key is None:
+            raise ValueError("hutchinson divergence requires a PRNG key")
+        return jax.random.normal(key, x.shape, x.dtype)
+
+    def _fwd_dyn(params, probe):
+        def dyn(y, t):
+            x, _ = y
+            tb = jnp.full(x.shape[:1], t, x.dtype)
+            return apply_fn(params, x, tb), div_fn(params, x, tb, probe)
+
+        return dyn
+
+    def _inv_dyn(params, probe):
+        def dyn(y, s):
+            x, _ = y
+            tb = jnp.full(x.shape[:1], 1.0 - s, x.dtype)
+            # reverse-time flow; logdet accumulates the same forward-map
+            # divergence along the reverse path
+            return -apply_fn(params, x, tb), div_fn(params, x, tb, probe)
+
+        return dyn
+
+    def forward(params, u, key: Optional[jax.Array] = None):
+        y0 = (u, jnp.zeros(u.shape[:1], u.dtype))
+        x, logdet = odeint_grid(
+            _fwd_dyn(params, _probe(key, u)), y0, 0.0, 1.0, n_steps, method
+        )
+        return x, logdet
+
+    def inverse(params, x, key: Optional[jax.Array] = None):
+        y0 = (x, jnp.zeros(x.shape[:1], x.dtype))
+        u, logdet = odeint_grid(
+            _inv_dyn(params, _probe(key, x)), y0, 0.0, 1.0, n_steps, method
+        )
+        return u, logdet
+
+    def forward_traj(params, u, save_ts, key: Optional[jax.Array] = None):
+        y0 = (u, jnp.zeros(u.shape[:1], u.dtype))
+        xs, _ = odeint_grid_save(
+            _fwd_dyn(params, _probe(key, u)), y0, save_ts, n_steps, method
+        )
+        return xs
+
+    return Transport(forward, inverse, forward_traj)
+
+
+def flow_log_density(ref_log_prob: Callable, u: jax.Array, logdet: jax.Array):
+    """log q(x) of a push-forward sample: log q0(u) - log|det dx/du|."""
+    return ref_log_prob(u) - logdet

@@ -1,0 +1,103 @@
+"""Tempered SMC over pi_lambda(x) ∝ exp(logprior + lambda * loglik).
+
+Parity with /root/reference/bblackjax/smc/tempered.py. TPU-first redesign of
+the inner move: the reference scans ``num_mcmc_steps`` of a scalar MCMC
+kernel *per particle* under vmap (tempered.py:130-141); here the **ensemble
+kernel steps the whole particle block**, so the inner loop is a scan of
+batched (N, d) kernel applications — each one a fused batched
+gradient + proposal + accept pass.
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mfm_tpu.kernels.base import SamplingAlgorithm
+from mfm_tpu.smc import base as smc_base
+from mfm_tpu.targets.base import Target
+
+
+class TemperedSMCState(NamedTuple):
+    particles: jax.Array
+    weights: jax.Array
+    lmbda: jax.Array  # current inverse temperature in [0, 1]
+
+
+def init(particles: jax.Array) -> TemperedSMCState:
+    n = particles.shape[0]
+    return TemperedSMCState(
+        particles, jnp.full((n,), 1.0 / n, particles.dtype), jnp.zeros(())
+    )
+
+
+def build_kernel(
+    target: Target,
+    mcmc_kernel_builder: Callable,
+    mcmc_init: Callable,
+    resample_fn: Callable,
+    num_mcmc_steps: int = 10,
+) -> Callable:
+    """Build the tempered SMC kernel.
+
+    mcmc_kernel_builder(value_and_score) -> ensemble kernel
+        kernel(key, chain_state) -> (chain_state, info)
+    mcmc_init(positions, value_and_score) -> chain_state
+    """
+
+    def kernel(rng_key: jax.Array, state: TemperedSMCState, lmbda):
+        delta = lmbda - state.lmbda
+
+        # batched value-and-grad of the tempered posterior at the *current*
+        # lambda (the MCMC moves target pi_{lambda_prev}; reweighing bridges
+        # to lambda, reference tempered.py:122-128)
+        def vs(x):
+            single = lambda xi: target.log_prior(xi) + state.lmbda * target.log_lik(xi)
+            return jax.vmap(jax.value_and_grad(single))(x)
+
+        inner = mcmc_kernel_builder(vs)
+
+        def update_fn(key, particles):
+            chain = mcmc_init(particles, vs)
+
+            def body(carry, k):
+                new, info = inner(k, carry)
+                return new, info.acceptance_rate
+
+            keys = jax.random.split(key, num_mcmc_steps)
+            chain, acc = jax.lax.scan(body, chain, keys)
+            return chain.position, acc
+
+        def weigh_fn(particles):
+            return delta * target.log_lik(particles)
+
+        smc_state, info = smc_base.step(
+            rng_key,
+            smc_base.SMCState(state.particles, state.weights),
+            update_fn,
+            weigh_fn,
+            resample_fn,
+        )
+        new_state = TemperedSMCState(
+            smc_state.particles, smc_state.weights, state.lmbda + delta
+        )
+        return new_state, info
+
+    return kernel
+
+
+def tempered_smc(
+    target: Target,
+    mcmc_kernel_builder: Callable,
+    mcmc_init: Callable,
+    resample_fn: Callable,
+    num_mcmc_steps: int = 10,
+) -> SamplingAlgorithm:
+    kernel = build_kernel(
+        target, mcmc_kernel_builder, mcmc_init, resample_fn, num_mcmc_steps
+    )
+
+    def step_fn(rng_key, state, lmbda):
+        return kernel(rng_key, state, lmbda)
+
+    return SamplingAlgorithm(init, step_fn)

@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The forced-device-count CPU client lowers matmuls to bf16-like precision
+# (mirroring TPU's default). Tests verify numerics, so pin full precision;
+# the framework pins HIGHEST explicitly on its accuracy-critical einsums.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @pytest.fixture(scope="session")
 def devices():

@@ -1,0 +1,165 @@
+"""SMC layer: resampler weight preservation, ESS identities, solvers,
+adaptive tempered SMC end-to-end with known log-normalizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfm_tpu.kernels import mala
+from mfm_tpu.smc import (
+    adaptive_tempered_smc,
+    ess,
+    get_resampler,
+    solvers,
+    tempered,
+)
+from mfm_tpu.targets import IndepGaussian
+from mfm_tpu.targets.base import Target
+
+
+class TestResampling:
+    @pytest.mark.parametrize("name", ["systematic", "stratified", "multinomial", "residual"])
+    def test_weight_preservation(self, name, key):
+        """Resampled counts must be proportional to weights."""
+        n = 1000
+        w = jnp.array([0.5, 0.3, 0.15, 0.05] + [0.0] * 4)
+        resampler = get_resampler(name)
+        counts = np.zeros(8)
+        for i in range(50):
+            idx = resampler(jax.random.fold_in(key, i), w, n)
+            counts += np.bincount(np.asarray(idx), minlength=8)
+        freq = counts / counts.sum()
+        np.testing.assert_allclose(freq, np.asarray(w), atol=0.02)
+
+    @pytest.mark.parametrize("name", ["systematic", "stratified", "residual"])
+    def test_low_variance_schemes_hit_integer_counts(self, name, key):
+        """For weights that are multiples of 1/n, deterministic-part schemes
+        reproduce exact counts."""
+        w = jnp.array([0.5, 0.25, 0.25])
+        idx = get_resampler(name)(key, w, 8)
+        counts = np.bincount(np.asarray(idx), minlength=3)
+        np.testing.assert_array_equal(counts, [4, 2, 2])
+
+    def test_indices_in_range(self, key):
+        w = jnp.ones(17) / 17
+        for name in ["systematic", "stratified", "multinomial", "residual"]:
+            idx = get_resampler(name)(key, w, 23)
+            assert idx.shape == (23,)
+            assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 17).all()
+
+
+class TestESS:
+    def test_uniform_weights(self):
+        lw = jnp.zeros(64)
+        np.testing.assert_allclose(float(ess.ess(lw)), 64.0, rtol=1e-5)
+
+    def test_degenerate_weights(self):
+        lw = jnp.array([0.0] + [-1e9] * 63)
+        np.testing.assert_allclose(float(ess.ess(lw)), 1.0, rtol=1e-4)
+
+    def test_solver_finds_target(self, key):
+        loglik = jax.random.normal(key, (256,)) * 3
+        target_ess = 0.7
+        delta = ess.ess_solver(loglik, target_ess, 1.0, solvers.dichotomy)
+        achieved = float(ess.ess(delta * loglik))
+        np.testing.assert_allclose(achieved, 0.7 * 256, rtol=0.02)
+
+    def test_solver_saturates_at_max(self, key):
+        loglik = jax.random.normal(key, (256,)) * 1e-4  # nearly flat
+        delta = ess.ess_solver(loglik, 0.5, 1.0, solvers.dichotomy)
+        np.testing.assert_allclose(float(delta), 1.0)
+
+
+class TestSolvers:
+    def test_bisection_root(self):
+        root = solvers.bisection(lambda x: 2.0 - x, 0.0, 10.0, n_iters=40)
+        np.testing.assert_allclose(float(root), 2.0, atol=1e-6)
+
+    def test_bisection_saturates(self):
+        root = solvers.bisection(lambda x: 5.0 - x, 0.0, 1.0)
+        np.testing.assert_allclose(float(root), 1.0)
+
+    def test_dichotomy_matches_bisection(self):
+        f = lambda x: jnp.cos(x) - 0.3
+        a = float(solvers.dichotomy(f, 0.0, 0.0, 3.0))
+        b = float(solvers.bisection(f, 0.0, 3.0, n_iters=50))
+        np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+class _GaussPosterior(Target):
+    """prior N(0, 1)^d, lik N(mu, s2)^d => posterior Gaussian with known
+    log-normalizer Z = prod_d N(mu_d; 0, 1 + s2)."""
+
+    def __init__(self, dim, mu=1.5, s2=0.5):
+        self.dim = dim
+        self.mu = mu
+        self.s2 = s2
+
+    def log_prior(self, x):
+        return -0.5 * jnp.sum(x * x, -1) - 0.5 * self.dim * jnp.log(2 * jnp.pi)
+
+    def log_lik(self, x):
+        return -0.5 * jnp.sum((x - self.mu) ** 2, -1) / self.s2 - 0.5 * self.dim * jnp.log(
+            2 * jnp.pi * self.s2
+        )
+
+    @property
+    def log_Z(self):
+        var = 1.0 + self.s2
+        return float(
+            -0.5 * self.dim * (self.mu**2 / var + np.log(2 * np.pi * var))
+        )
+
+    @property
+    def posterior_mean(self):
+        return self.mu / (1.0 + self.s2)
+
+    @property
+    def posterior_var(self):
+        return self.s2 / (1.0 + self.s2)
+
+
+class TestAdaptiveTemperedSMC:
+    def test_gaussian_posterior(self, key):
+        """Adaptive tempering from prior to posterior: final lambda = 1,
+        log Z estimate and moments within tolerance."""
+        tgt = _GaussPosterior(dim=2)
+        n = 1024
+        algo = adaptive_tempered_smc(
+            tgt,
+            mcmc_kernel_builder=lambda vs: (
+                lambda k, s: mala.build_kernel(vs)(k, s, 0.3)
+            ),
+            mcmc_init=mala.init,
+            resample_fn=get_resampler("systematic"),
+            target_ess=0.7,
+            num_mcmc_steps=5,
+        )
+        particles = jax.random.normal(key, (n, 2))
+        state = algo.init(particles)
+
+        @jax.jit
+        def one_step(state, k):
+            state, info = algo.step(k, state)
+            return state, info.log_likelihood_increment
+
+        log_z = 0.0
+        for i in range(40):
+            state, inc = one_step(state, jax.random.fold_in(key, i))
+            log_z += float(inc)
+            if float(state.lmbda) >= 1.0:
+                break
+        assert float(state.lmbda) == 1.0
+        np.testing.assert_allclose(log_z, tgt.log_Z, atol=0.1)
+        np.testing.assert_allclose(
+            np.average(np.asarray(state.particles), axis=0, weights=np.asarray(state.weights)),
+            tgt.posterior_mean,
+            atol=0.05,
+        )
+        var = np.average(
+            (np.asarray(state.particles) - tgt.posterior_mean) ** 2,
+            axis=0,
+            weights=np.asarray(state.weights),
+        )
+        np.testing.assert_allclose(var, tgt.posterior_var, rtol=0.15)
