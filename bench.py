@@ -1,0 +1,150 @@
+"""Benchmark driver. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: end-to-end MFM training throughput (steps/sec) on the 4-mode
+benchmark (reference README.md:6-20 configuration: n_chain=128, MALA step
+0.2, mcmc_per_flow_steps=10, exact divergence).
+
+vs_baseline compares the TPU-native execution model (whole training loop as
+one on-device lax.scan, mfm_tpu.drivers.mfm) against the reference's
+execution model run on the SAME hardware with the SAME kernels: a host
+Python loop that launches one jitted step at a time and synchronizes
+per-iteration metrics every step (/root/reference/exe_flow_matching.py:432-449).
+The ratio isolates the architectural win (loop residency + fused chunks)
+from kernel quality.
+
+Secondary numbers (phi-four ensemble-MALA chain-steps/sec/chip, pines
+hot-path step time) go to BENCH_DETAILS.json.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_it(fn, *args, repeats=1):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.time()
+    for _ in range(repeats):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - start) / repeats, out
+
+
+def bench_mfm_4mode(n_iter=300):
+    from mfm_tpu.config import MFMConfig
+    from mfm_tpu.drivers.mfm import build_mfm
+    from mfm_tpu.targets import four_mode_mixture
+
+    target = four_mode_mixture()
+    cfg = MFMConfig(
+        example="4-mode", dim=2, num_chain=128, learning_iter=n_iter,
+        step_size=0.2, mcmc_per_flow_steps=10.0, ode_steps=24,
+    )
+    key = jax.random.PRNGKey(0)
+    step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+    carry0 = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
+    keys = jax.random.split(key, n_iter)
+    counts = jnp.arange(1, n_iter + 1)
+
+    # --- TPU-native: the whole loop is one scanned on-device program
+    @jax.jit
+    def run_scan(carry, keys, counts):
+        return jax.lax.scan(step_fn, carry, (keys, counts))
+
+    t_scan, _ = _time_it(run_scan, carry0, keys, counts)
+
+    # --- reference execution model: host loop, one step per dispatch, and a
+    # device->host metric sync every iteration (wandb.log analogue)
+    one_step = jax.jit(step_fn)
+    carry, m = one_step(carry0, (keys[0], counts[0]))  # compile
+    jax.block_until_ready(carry)
+    start = time.time()
+    carry = carry0
+    for i in range(n_iter):
+        carry, metrics = one_step(carry, (keys[i], counts[i]))
+        _ = {k: float(v) for k, v in metrics.items()}  # per-iter host sync
+    jax.block_until_ready(carry)
+    t_loop = time.time() - start
+
+    return {
+        "steps_per_sec_scan": n_iter / t_scan,
+        "steps_per_sec_host_loop": n_iter / t_loop,
+        "speedup": t_loop / t_scan,
+    }
+
+
+def bench_phi_four_mala(n_chain=1024, n_steps=2000):
+    from mfm_tpu.kernels import mala
+    from mfm_tpu.targets import PhiFour
+
+    target = PhiFour(64)
+    vs = lambda x: target.value_and_score(x)
+    kernel = mala.build_kernel(vs)
+    key = jax.random.PRNGKey(0)
+    state = mala.init(target.init_positions(key, n_chain), vs)
+
+    @jax.jit
+    def run(state, key):
+        def body(s, k):
+            s, info = kernel(k, s, 1e-4)
+            return s, info.acceptance_rate.mean()
+
+        return jax.lax.scan(body, state, jax.random.split(key, n_steps))
+
+    t, _ = _time_it(run, state, key)
+    return {"chain_steps_per_sec": n_chain * n_steps / t}
+
+
+def bench_pines_step(n_chain=128, n_steps=50):
+    from mfm_tpu.kernels import mala
+    from mfm_tpu.targets import LogGaussianCoxPines
+
+    target = LogGaussianCoxPines(1600)
+    vs = lambda x: target.value_and_score(x)
+    kernel = mala.build_kernel(vs)
+    key = jax.random.PRNGKey(0)
+    state = mala.init(target.init_positions(key, n_chain), vs)
+
+    @jax.jit
+    def run(state, key):
+        def body(s, k):
+            s, _ = kernel(k, s, 0.01)
+            return s, None
+
+        return jax.lax.scan(body, state, jax.random.split(key, n_steps))[0]
+
+    t, _ = _time_it(run, state, key)
+    return {"chain_steps_per_sec": n_chain * n_steps / t}
+
+
+def main():
+    details = {"device": str(jax.devices()[0])}
+    mfm = bench_mfm_4mode()
+    details["mfm_4mode"] = mfm
+    try:
+        details["phi_four_mala"] = bench_phi_four_mala()
+        details["pines_mala"] = bench_pines_step()
+    except Exception as e:  # secondary benches must not kill the headline
+        details["secondary_error"] = repr(e)
+
+    with open("BENCH_DETAILS.json", "w") as fh:
+        json.dump(details, fh, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "mfm_4mode_train_steps_per_sec",
+                "value": round(mfm["steps_per_sec_scan"], 2),
+                "unit": "steps/sec",
+                "vs_baseline": round(mfm["speedup"], 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

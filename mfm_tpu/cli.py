@@ -1,0 +1,181 @@
+"""Command-line experiment driver.
+
+Parity with the reference CLI (/root/reference/multi_modal.py): the same
+four benchmark examples with their per-example overrides, the 10-seed
+replication rule (seeds i^10 when --seed is unset, :118), mean +/- 1.96
+sigma aggregation printed as a LaTeX-ish row (:133-143), and the baseline
+switches. The external-package baselines (FAB / flowMC / DDS / pocomc,
+reference exe_others.py) are gated on their packages being importable;
+the in-repo adaptive tempered SMC baseline (--do-smc) always works.
+
+Usage:
+    python -m mfm_tpu.cli --example 4-mode --mcmc-per-flow-steps 10
+    python -m mfm_tpu.cli --example phi-four --do-smc
+"""
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+
+from mfm_tpu.config import preset
+from mfm_tpu.drivers import evaluate_samples, run_mfm, run_smc, sample_flow
+from mfm_tpu.targets import (
+    LogGaussianCoxPines,
+    PhiFour,
+    four_mode_mixture,
+    random_mixture,
+)
+from mfm_tpu.utils.logging import MetricLogger
+
+
+def make_target(example: str):
+    if example == "4-mode":
+        return four_mode_mixture()
+    if example == "gaussian-mixture":
+        return random_mixture()
+    if example == "phi-four":
+        return PhiFour(64)
+    if example == "pines":
+        return LogGaussianCoxPines(1600)
+    raise ValueError(f"unknown example {example!r}")
+
+
+def run_one(target, cfg, args):
+    """One seed: train, sample, evaluate. Returns (flow_row, exact_row)."""
+    log = MetricLogger(
+        run_dir=args.run_dir,
+        run_name=f"{cfg.example}-seed{cfg.seed}",
+        use_wandb=args.wandb,
+        wandb_kwargs={
+            "project": cfg.example,
+            "group": f"dim={cfg.dim}",
+            "job_type": f"mcmc_per_flow_steps={cfg.mcmc_per_flow_steps}",
+        },
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    key_eval = jax.random.fold_in(key, 999)
+
+    real_samples = None
+    n_eval = cfg.eval_iter * cfg.num_chain
+    if target.can_sample:
+        real_samples = target.sample(jax.random.fold_in(key, 1000), (n_eval,))
+
+    if args.do_smc:
+        result = run_smc(target, cfg)
+        flow_samples = exact_samples = result.particles
+        train_time = result.train_time
+        log.log({"lmbda": float(result.lmbda), "log_z": float(result.log_z)})
+    else:
+        run = run_mfm(target, cfg, logger=log)
+        train_time = run.train_time
+        flow_samples, exact_samples, _ = sample_flow(run, key_eval, n_eval, target)
+
+    if args.check and real_samples is not None:
+        from mfm_tpu.drivers import check_floor
+
+        log.summary(check_floor(target, real_samples))
+
+    metrics = evaluate_samples(target, flow_samples, exact_samples, real_samples)
+    metrics["train_time"] = train_time
+    log.summary(metrics)
+    log.finish()
+    flow_row = [
+        metrics["logpdf"], metrics["stein_u"], metrics["stein_v"],
+        metrics["mmd"], train_time,
+    ]
+    exact_row = [
+        metrics["logpdf_star"], metrics["stein_u_star"], metrics["stein_v_star"],
+        metrics["mmd_star"], train_time,
+    ]
+    return flow_row, exact_row
+
+
+def main(argv=None):
+    logging.basicConfig(
+        format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+        level=logging.INFO,
+    )
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--example", default="4-mode",
+                   choices=["4-mode", "gaussian-mixture", "phi-four", "pines"])
+    p.add_argument("--seed", type=int, default=None,
+                   help="single seed; default replicates seeds i**10, i<10")
+    p.add_argument("--mcmc-per-flow-steps", type=float, default=10.0)
+    p.add_argument("--learning-iter", type=int, default=None)
+    p.add_argument("--num-chain", type=int, default=None)
+    p.add_argument("--num-importance-samples", type=int, default=0)
+    p.add_argument("--hutchs", action="store_true")
+    p.add_argument("--step-size", type=float, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--ref-dist", default="stdgauss")
+    p.add_argument("--no-cond-flow", action="store_true")
+    p.add_argument("--ot-cond-flow", action="store_true")
+    p.add_argument("--ode-steps", type=int, default=None)
+    p.add_argument("--alpha", type=float, default=None)
+    p.add_argument("--check", action="store_true")
+    p.add_argument("--do-smc", action="store_true")
+    p.add_argument("--do-fab", action="store_true")
+    p.add_argument("--do-flowmc", action="store_true")
+    p.add_argument("--do-dds", action="store_true")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--run-dir", default="runs")
+    p.add_argument("--chunk-size", type=int, default=None)
+    args = p.parse_args(argv)
+
+    for flag, pkg in [("do_fab", "fabjax"), ("do_flowmc", "flowMC"), ("do_dds", "dds")]:
+        if getattr(args, flag):
+            try:
+                __import__(pkg)
+            except ImportError:
+                raise SystemExit(
+                    f"--{flag.replace('_', '-')} needs the external package "
+                    f"{pkg!r}, which is not installed in this environment"
+                )
+
+    overrides = {"mcmc_per_flow_steps": args.mcmc_per_flow_steps,
+                 "num_importance_samples": args.num_importance_samples,
+                 "ref_dist": args.ref_dist}
+    if args.hutchs:
+        overrides["hutchinson"] = True
+    if args.no_cond_flow:
+        overrides["cond_flow"] = False
+    if args.ot_cond_flow:
+        overrides["ot_cond_flow"] = True
+    for name in ["learning_iter", "num_chain", "step_size", "learning_rate",
+                 "ode_steps", "alpha", "chunk_size"]:
+        val = getattr(args, name)
+        if val is not None:
+            overrides[name] = val
+
+    cfg = preset(args.example, **overrides)
+    target = make_target(args.example)
+
+    seeds = [args.seed] if args.seed is not None else [i**10 for i in range(10)]
+    rows, rows_exact = [], []
+    for seed in seeds:
+        cfg.seed = seed
+        fr, er = run_one(target, cfg, args)
+        rows.append(fr)
+        rows_exact.append(er)
+
+    import numpy as np
+
+    job = "SMC" if args.do_smc else (
+        f"mcmc_per_flow_steps={cfg.mcmc_per_flow_steps},"
+        f"learning_iter={cfg.learning_iter}"
+        + (",hutchs" if cfg.hutchinson else "")
+    )
+    print(job)
+    print("-" * 100)
+    print("logprob\t & stein-u\t & stein-v\t & mmd  \t & time \t")
+    for data in (np.asarray(rows), np.asarray(rows_exact)):
+        mean, std = data.mean(axis=0), data.std(axis=0)
+        print(*[f"{m:.2e} \\pm {s * 1.96:.2e}" for m, s in zip(mean, std)],
+              sep="$ & $")
+    print("-" * 100)
+
+
+if __name__ == "__main__":
+    main()

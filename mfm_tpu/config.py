@@ -1,0 +1,125 @@
+"""Typed configuration for MFM training runs.
+
+Single source of truth replacing the reference's ~40 argparse flags
+(/root/reference/multi_modal.py:148-219) and its per-example programmatic
+overrides (:23-98). The CLI (mfm_tpu.cli) and YAML front-ends construct this
+dataclass; drivers consume only this.
+"""
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class MFMConfig:
+    # problem
+    example: str = "4-mode"
+    dim: int = 2
+    seed: int = 0
+
+    # flow architecture (reference multi_modal.py:156-180)
+    hidden_x: Sequence[int] = (128, 128)
+    hidden_t: Sequence[int] = (128, 128)
+    hidden_xt: Sequence[int] = (128, 128)
+    fourier_dim: int = 128
+    fourier_std: float = 1.0
+    non_linearity: str = "relu"
+    grad_clip_score: float = 1.0  # applied to the score gate when dim > 128
+
+    # flow matching (reference multi_modal.py:155-167)
+    sigma: float = 1e-4
+    ref_dist: str = "stdgauss"
+    cond_flow: bool = True
+    ot_cond_flow: bool = False
+
+    # CNF transport
+    hutchinson: bool = False
+    ode_steps: int = 24
+    ode_method: str = "rk4"
+
+    # interleaving & kernels (reference multi_modal.py:167-172)
+    num_importance_samples: int = 0  # >0 CIS, <0 indep-MH, 0 pullback-RWM
+    mcmc_per_flow_steps: float = 10.0  # <0 trains on exact target samples
+    num_chain: int = 128
+    step_size: float = 0.2
+    learning_iter: int = 400
+    eval_iter: int = 100
+
+    # adaptive tempering (reference multi_modal.py:173-175)
+    alpha: float = 0.95
+    anneal_iter: int = 200
+    num_anneal_temp: int = 200
+
+    # optimizer (reference multi_modal.py:199-205)
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    gradient_clip: float = 1.0
+    warmup_steps: int = 0
+
+    # execution
+    chunk_size: int = 100  # scan steps per device round-trip
+    mesh_shape: Optional[Tuple[int, ...]] = None  # (ensemble, chains) or None
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_chunks: int = 0  # 0 disables
+
+    # plotting / misc (reference multi_modal.py:214-217)
+    lim: Optional[Sequence[float]] = (-16.0, 16.0)
+    grid_width: int = 400
+    levels: int = 50
+
+    @property
+    def iter_per_temp(self) -> int:
+        return max(self.anneal_iter // self.num_anneal_temp, 1)
+
+    @property
+    def score_clip(self) -> Optional[float]:
+        """Score-gate clipping activates above dim 128 (reference
+        exe_flow_matching.py:351)."""
+        return self.grad_clip_score if self.dim > 128 else None
+
+    @property
+    def divergence(self) -> str:
+        return "hutchinson" if self.hutchinson else "exact"
+
+
+def preset(example: str, **overrides) -> MFMConfig:
+    """Per-example hyperparameters (reference multi_modal.py:23-98)."""
+    cfg = MFMConfig(example=example)
+    if example == "4-mode":
+        cfg.dim = 2
+        cfg.step_size = 0.2
+        cfg.lim = (-16.0, 16.0)
+        cfg.levels = 20
+        cfg.learning_iter = 1000
+    elif example == "gaussian-mixture":
+        cfg.dim = 2
+        cfg.step_size = 0.2
+        cfg.lim = (-16.0, 16.0)
+        cfg.levels = 20
+        cfg.learning_iter = 10_000
+    elif example == "phi-four":
+        cfg.dim = 64
+        cfg.num_chain = 1024
+        cfg.eval_iter = 1
+        cfg.step_size = 1e-4
+        cfg.lim = (-1.6, 1.6)
+        cfg.learning_iter = 10_000
+    elif example == "pines":
+        cfg.dim = 1600
+        cfg.num_chain = 128
+        cfg.eval_iter = 1
+        cfg.step_size = 0.01
+        cfg.hidden_x = cfg.hidden_t = cfg.hidden_xt = (1024, 1024)
+        cfg.lim = None
+        cfg.learning_iter = 10_000
+        cfg.hutchinson = True  # exact trace is O(d) MLP passes at d=1600
+    else:
+        raise ValueError(f"unknown example {example!r}")
+    for k, v in overrides.items():
+        if not hasattr(cfg, k):
+            raise ValueError(f"unknown config field {k!r}")
+        setattr(cfg, k, v)
+    return cfg

@@ -1,0 +1,324 @@
+"""The MFM training driver: interleaved MCMC / flow-refresh data generation,
+on-device flow-matching training, adaptive tempering, final importance-
+corrected sampling.
+
+Algorithmic parity with the reference orchestrator
+(/root/reference/exe_flow_matching.py:321-575) with the defining TPU-first
+change (SURVEY.md section 7 item 1): the reference drives training from a
+host Python loop with a device round-trip every iteration (:432-449); here
+the entire loop body — kernel interleave (lax.cond on the step counter),
+FM gradient step, ESS-bisection tempering — is a single scanned, jitted
+program. Metrics stream back in chunks of ``cfg.chunk_size`` steps.
+
+Other deliberate redesigns:
+- tempering uses the in-repo fixed-iteration bisection (no jaxopt;
+  reference :391-403 uses jaxopt.Bisection)
+- the final IS correction resamples in log-space with Gumbel top-k
+- chain ensembles may be sharded over a mesh axis; flow params stay
+  replicated and gradients reduce automatically under jit.
+"""
+
+import time
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mfm_tpu.config import MFMConfig
+from mfm_tpu.flows import (
+    FlowTarget,
+    apply_gradients,
+    create_train_state,
+    flow_matching_loss,
+    make_lr_schedule,
+    make_optimizer,
+    make_transport,
+    make_vector_field,
+    select_flow_kernel,
+)
+from mfm_tpu.flows.train import TrainState
+from mfm_tpu.kernels import ChainState, mala
+from mfm_tpu.targets import make_ref_dist
+from mfm_tpu.targets.base import Target
+
+
+class MFMCarry(NamedTuple):
+    chain: ChainState
+    train: TrainState
+    beta: jax.Array
+
+
+class MFMRun(NamedTuple):
+    """Everything a caller needs after training."""
+
+    train: TrainState
+    chain: ChainState
+    beta: jax.Array
+    metrics: dict  # per-iteration stacked scalars
+    train_time: float
+    apply_fn: Callable
+    transport: object
+    ref_dist: Target
+
+
+def ess_of(logw: jax.Array) -> jax.Array:
+    """ESS = 1 / sum(normalized_w^2) (reference beta_fn, :393-399)."""
+    w = jax.nn.softmax(logw)
+    return 1.0 / jnp.sum(w * w)
+
+
+def next_beta(prev_beta, logliks, alpha: float, n_chain: int, n_iters: int = 30):
+    """Smallest beta in [prev_beta, 1] with ESS of the incremental weights
+    equal to alpha * n_chain, by fixed-iteration bisection (reference
+    :391-403). Saturates at 1 when even beta=1 keeps ESS above target."""
+    from mfm_tpu.smc.solvers import bisection
+
+    def gap(beta):
+        return ess_of(logliks * (beta - prev_beta)) - alpha * n_chain
+
+    return bisection(gap, prev_beta, 1.0, n_iters=n_iters)
+
+
+def tempered_value_and_score(target: Target):
+    """(x, beta) -> (logdensity, grad) of beta * loglik + logprior, batched."""
+
+    def vs(x, beta):
+        single = lambda xi: beta * target.log_lik(xi) + target.log_prior(xi)
+        return jax.vmap(jax.value_and_grad(single))(x)
+
+    return vs
+
+
+def _interleave_is_flow(count, mcmc_per_flow_steps: float):
+    """Reference interleaving rule (exe_flow_matching.py:304-314):
+    ratio in (0, 1): one MCMC step every int(1/ratio)+1 iters (rest flow);
+    ratio >= 1: one flow step every int(ratio)+1 iters (rest MCMC)."""
+    if 0 < mcmc_per_flow_steps < 1:
+        period = int(1.0 / mcmc_per_flow_steps) + 1
+        return count % period != 0
+    period = int(mcmc_per_flow_steps) + 1
+    return count % period == 0
+
+
+def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array):
+    """Construct the jitted pieces of an MFM run.
+
+    Returns (step_fn, init_fn, finalize) where ``step_fn`` is scan-ready.
+    """
+    key_net, key_init = jax.random.split(key)
+    use_real_samples = cfg.mcmc_per_flow_steps < 0
+
+    apply_fn, params = make_vector_field(
+        key_net,
+        cfg.dim,
+        score_fn=target.score,
+        hidden_x=cfg.hidden_x,
+        hidden_t=cfg.hidden_t,
+        hidden_xt=cfg.hidden_xt,
+        fourier_dim=cfg.fourier_dim,
+        fourier_std=cfg.fourier_std,
+        non_linearity=cfg.non_linearity,
+        score_clip=cfg.score_clip,
+    )
+    transport = make_transport(
+        apply_fn, divergence=cfg.divergence, n_steps=cfg.ode_steps, method=cfg.ode_method
+    )
+    ref_dist = make_ref_dist(cfg.ref_dist, cfg.dim)
+    lr_fn = make_lr_schedule(cfg.learning_iter, cfg.warmup_steps, cfg.learning_rate)
+    tx = make_optimizer(
+        lr_fn,
+        weight_decay=cfg.weight_decay,
+        b1=cfg.adam_beta1,
+        b2=cfg.adam_beta2,
+        eps=cfg.adam_epsilon,
+        gradient_clip=cfg.gradient_clip,
+    )
+    vs_fn = tempered_value_and_score(target)
+    flow_kernel = select_flow_kernel(cfg.num_importance_samples)
+
+    def loss_fn(p, key, samples):
+        return flow_matching_loss(
+            p,
+            apply_fn,
+            key,
+            samples,
+            cfg.sigma,
+            ref_sampler=ref_dist.sample,
+            conditional=cfg.cond_flow,
+            ot_coupling=cfg.ot_cond_flow,
+        )
+
+    def init_fn(init_positions):
+        """Initial carry: tempering level from the ESS rule at beta=0
+        (reference :426), chains initialized at that tempered target."""
+        if use_real_samples:
+            beta = jnp.ones(())
+        else:
+            beta = next_beta(
+                0.0, target.log_lik(init_positions), cfg.alpha, cfg.num_chain
+            )
+        vs = lambda x: vs_fn(x, beta)
+        chain = mala.init(init_positions, vs)
+        train = create_train_state(params, tx)
+        return MFMCarry(chain, train, beta)
+
+    def data_step(key, chain, train_params, beta, count):
+        """One interleaved data-generation move for the whole ensemble."""
+        if use_real_samples:
+            pos = target.sample(key, (cfg.num_chain,))
+            new_chain = ChainState(
+                pos, jnp.zeros(cfg.num_chain), jnp.zeros_like(pos)
+            )
+            return new_chain, jnp.full(cfg.num_chain, jnp.nan)
+
+        vs = lambda x: vs_fn(x, beta)
+        tgt = FlowTarget(vs, ref_dist.log_prob, ref_dist.sample)
+        mala_kernel = mala.build_kernel(vs)
+
+        def do_flow(k):
+            new, info = flow_kernel(k, chain, train_params, transport, tgt)
+            return new, info.acceptance_rate
+
+        def do_mala(k):
+            new, info = mala_kernel(k, chain, cfg.step_size)
+            return new, info.acceptance_rate
+
+        return lax.cond(
+            _interleave_is_flow(count, cfg.mcmc_per_flow_steps), do_flow, do_mala, key
+        )
+
+    def temper_step(chain, beta):
+        """ESS-bisection tempering + chain re-init at the new level
+        (reference beta_gen, :410-417)."""
+        new_beta = next_beta(
+            beta, target.log_lik(chain.position), cfg.alpha, cfg.num_chain
+        )
+        vs = lambda x: vs_fn(x, new_beta)
+        new_chain = mala.init(chain.position, vs)
+        return new_chain, new_beta
+
+    def step_fn(carry: MFMCarry, xs):
+        key, count = xs
+        k_gen, k_loss = jax.random.split(key)
+
+        chain, acc = data_step(k_gen, carry.chain, carry.train.params, carry.beta, count)
+
+        loss, grads = jax.value_and_grad(loss_fn)(
+            carry.train.params, k_loss, chain.position
+        )
+        train = apply_gradients(carry.train, grads, tx)
+
+        if use_real_samples:
+            beta = carry.beta
+        else:
+            do_temper = (count % cfg.iter_per_temp == 0) & (carry.beta < 1.0)
+            chain, beta = lax.cond(
+                do_temper,
+                lambda args: temper_step(*args),
+                lambda args: (args[0], args[1]),
+                (chain, carry.beta),
+            )
+
+        metrics = {
+            "loss": loss,
+            "learning_rate": lr_fn(carry.train.step),
+            "acceptance_mean": jnp.nanmean(acc),
+            "acceptance_std": jnp.nanstd(acc),
+            "beta": beta,
+        }
+        return MFMCarry(chain, train, beta), metrics
+
+    return step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn
+
+
+def run_mfm(
+    target: Target,
+    cfg: MFMConfig,
+    logger=None,
+    key: Optional[jax.Array] = None,
+) -> MFMRun:
+    """Train an MFM sampler; the loop runs on device in chunks.
+
+    ``logger`` (optional) gets ``log(dict)`` called once per chunk with the
+    chunk-mean metrics.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    key_build, key_pos, key_loop = jax.random.split(key, 3)
+
+    step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn = build_mfm(
+        target, cfg, key_build
+    )
+    init_positions = target.init_positions(key_pos, cfg.num_chain)
+
+    carry = jax.jit(init_fn)(init_positions)
+
+    @jax.jit
+    def run_chunk(carry, keys, counts):
+        return lax.scan(step_fn, carry, (keys, counts))
+
+    n_iter = cfg.learning_iter
+    chunk = max(1, min(cfg.chunk_size, n_iter))
+    all_keys = jax.random.split(key_loop, n_iter)
+    counts = jnp.arange(1, n_iter + 1)
+
+    # warm up compile before timing (parity with the reference's post-jit
+    # train_start, exe_flow_matching.py:421)
+    jax.block_until_ready(carry)
+    metrics_chunks = []
+    train_start = time.time()
+    done = 0
+    while done < n_iter:
+        take = min(chunk, n_iter - done)
+        carry, m = run_chunk(
+            carry, all_keys[done : done + take], counts[done : done + take]
+        )
+        metrics_chunks.append(m)
+        done += take
+        if logger is not None:
+            chunk_mean = {k: float(jnp.mean(v)) for k, v in m.items()}
+            chunk_mean["iter"] = done
+            chunk_mean["train_time"] = time.time() - train_start
+            logger.log(chunk_mean)
+    jax.block_until_ready(carry)
+    train_time = time.time() - train_start
+
+    metrics = jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs), *metrics_chunks
+    )
+    return MFMRun(
+        carry.train,
+        carry.chain,
+        carry.beta,
+        metrics,
+        train_time,
+        apply_fn,
+        transport,
+        ref_dist,
+    )
+
+
+def sample_flow(
+    run: MFMRun,
+    key: jax.Array,
+    n_samples: int,
+    target: Target,
+):
+    """Final sampling + self-normalized IS correction
+    (reference exe_flow_matching.py:453-459).
+
+    Returns (flow_samples, exact_samples, log_weights).
+    """
+    key_ref, key_hutch, key_choice = jax.random.split(key, 3)
+    u = run.ref_dist.sample(key_ref, (n_samples,))
+    flow_samples, logdet = run.transport.forward(run.train.params, u, key_hutch)
+    logpdf = target.log_prob(flow_samples)
+    log_q = run.ref_dist.log_prob(u) - logdet
+    log_w = logpdf - log_q
+    log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
+    # categorical resampling directly in log space (the reference
+    # exponentiates weights first, :458, which under/overflows in f32)
+    idx = jax.random.categorical(key_choice, log_w, shape=(n_samples,))
+    exact_samples = flow_samples[idx]
+    return flow_samples, exact_samples, log_w

@@ -1,26 +1,36 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip sharding is validated without TPU hardware by forcing the host
-platform to expose 8 CPU devices (SURVEY.md section 4). Environment variables
-must be set before jax initializes its backends, hence the top-of-file order.
+platform to expose 8 CPU devices (SURVEY.md section 4). The environment
+presets JAX_PLATFORMS=axon (TPU) and the jaxtyping pytest plugin imports
+jax before this file runs, so the platform override must go through
+jax.config (still effective until the first backend is created), and
+XLA_FLAGS must be set before the CPU client initializes.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # The forced-device-count CPU client lowers matmuls to bf16-like precision
 # (mirroring TPU's default). Tests verify numerics, so pin full precision;
 # the framework pins HIGHEST explicitly on its accuracy-critical einsums.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh; a backend was initialized "
+    f"before conftest could override the platform: {jax.devices()}"
+)
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,144 @@
+"""End-to-end MFM miniature runs (SURVEY.md section 4 integration strategy):
+small 4-mode runs must train stably, cover all modes after IS correction,
+and beat naive flow samples on MMD."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfm_tpu.config import MFMConfig
+from mfm_tpu.drivers import evaluate_samples, next_beta, run_mfm, sample_flow
+from mfm_tpu.targets import IndepGaussian, four_mode_mixture
+
+
+def _small_cfg(**overrides):
+    base = dict(
+        example="4-mode",
+        dim=2,
+        num_chain=64,
+        learning_iter=150,
+        step_size=0.2,
+        hidden_x=(32, 32),
+        hidden_t=(32, 32),
+        hidden_xt=(32, 32),
+        fourier_dim=16,
+        ode_steps=12,
+        eval_iter=8,
+        chunk_size=50,
+        learning_rate=2e-3,
+        anneal_iter=40,
+        num_anneal_temp=40,
+    )
+    base.update(overrides)
+    return MFMConfig(**base)
+
+
+class TestNextBeta:
+    def test_monotone_and_bracketed(self, key):
+        logliks = jax.random.normal(key, (128,)) * 20
+        b1 = float(next_beta(0.0, logliks, 0.95, 128))
+        assert 0.0 < b1 <= 1.0
+        b2 = float(next_beta(b1, logliks, 0.95, 128))
+        assert b1 <= b2 <= 1.0
+
+    def test_easy_target_jumps_to_one(self, key):
+        logliks = jax.random.normal(key, (128,)) * 1e-4
+        assert float(next_beta(0.0, logliks, 0.95, 128)) == 1.0
+
+
+class TestMFMEndToEnd:
+    @pytest.fixture(scope="class")
+    def run_result(self):
+        target = four_mode_mixture()
+        cfg = _small_cfg()
+        run = run_mfm(target, cfg)
+        return target, cfg, run
+
+    def test_training_is_finite(self, run_result):
+        """The FM loss scale tracks the chain spread (targets are x1 - x0),
+        so it is not monotone during MFM; finiteness + the mode-coverage and
+        MMD gates below are the quality checks."""
+        _, _, run = run_result
+        losses = np.asarray(run.metrics["loss"])
+        assert np.isfinite(losses).all()
+        betas = np.asarray(run.metrics["beta"])
+        assert (np.diff(betas) >= -1e-6).all()  # tempering is monotone
+
+    def test_beta_reaches_one(self, run_result):
+        _, _, run = run_result
+        assert float(run.beta) == 1.0
+
+    def test_acceptance_sane(self, run_result):
+        _, _, run = run_result
+        acc = np.asarray(run.metrics["acceptance_mean"])
+        assert np.isfinite(acc).all()
+        assert 0.05 < acc.mean() <= 1.0
+
+    def test_chains_cover_modes(self, run_result):
+        """After training, MALA chains + flow refreshes should populate all
+        four quadrants (pure MALA from N(0,1) init cannot cross modes)."""
+        _, _, run = run_result
+        pos = np.asarray(run.chain.position)
+        quad = (pos[:, 0] > 0).astype(int) * 2 + (pos[:, 1] > 0).astype(int)
+        assert len(np.unique(quad)) == 4
+
+    def test_is_correction_improves_mmd(self, run_result):
+        target, cfg, run = run_result
+        key = jax.random.PRNGKey(123)
+        flow_s, exact_s, log_w = sample_flow(run, key, 512, target)
+        real = target.sample(jax.random.fold_in(key, 1), (512,))
+        m = evaluate_samples(target, flow_s, exact_s, real)
+        assert np.isfinite(m["logpdf"]) and np.isfinite(m["logpdf_star"])
+        assert m["mmd_star"] < 0.25
+        # IS-corrected samples cover all modes
+        quad = (np.asarray(exact_s)[:, 0] > 0).astype(int) * 2 + (
+            np.asarray(exact_s)[:, 1] > 0
+        ).astype(int)
+        assert len(np.unique(quad)) == 4
+
+
+class TestMFMVariants:
+    def test_real_samples_mode(self):
+        """mcmc_per_flow_steps < 0 trains the flow on exact target draws
+        (reference use_real_samples, exe_flow_matching.py:328,382-386)."""
+        target = four_mode_mixture()
+        cfg = _small_cfg(mcmc_per_flow_steps=-1.0, learning_iter=60)
+        run = run_mfm(target, cfg)
+        losses = np.asarray(run.metrics["loss"])
+        assert np.isfinite(losses).all()
+        # with a FIXED data distribution the FM loss must come down
+        assert losses[-10:].mean() < losses[:10].mean()
+
+    def test_hutchinson_mode(self):
+        target = four_mode_mixture()
+        cfg = _small_cfg(hutchinson=True, learning_iter=40, chunk_size=40)
+        run = run_mfm(target, cfg)
+        assert np.isfinite(np.asarray(run.metrics["loss"])).all()
+
+    def test_cis_kernel(self):
+        target = four_mode_mixture()
+        cfg = _small_cfg(
+            num_importance_samples=4, learning_iter=40, chunk_size=40,
+            mcmc_per_flow_steps=3,
+        )
+        run = run_mfm(target, cfg)
+        assert np.isfinite(np.asarray(run.metrics["loss"])).all()
+
+    def test_indep_mh_kernel(self):
+        target = four_mode_mixture()
+        cfg = _small_cfg(
+            num_importance_samples=-1, learning_iter=40, chunk_size=40,
+            mcmc_per_flow_steps=3,
+        )
+        run = run_mfm(target, cfg)
+        assert np.isfinite(np.asarray(run.metrics["loss"])).all()
+
+    def test_fractional_interleave(self):
+        """0 < mcmc_per_flow_steps < 1: mostly flow steps."""
+        target = four_mode_mixture()
+        cfg = _small_cfg(
+            mcmc_per_flow_steps=0.5, learning_iter=30, chunk_size=30
+        )
+        run = run_mfm(target, cfg)
+        assert np.isfinite(np.asarray(run.metrics["loss"])).all()
