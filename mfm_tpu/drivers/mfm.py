@@ -254,6 +254,18 @@ def run_mfm(
 
     carry = jax.jit(init_fn)(init_positions)
 
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from mfm_tpu.parallel import make_mesh, replicate, shard_chains
+
+        axis_names = ("ensemble", "chains")[-len(cfg.mesh_shape) :]
+        mesh = make_mesh(tuple(cfg.mesh_shape), axis_names)
+        carry = carry._replace(
+            chain=shard_chains(carry.chain, mesh),
+            train=replicate(carry.train, mesh),
+            beta=replicate(carry.beta, mesh),
+        )
+
     @jax.jit
     def run_chunk(carry, keys, counts):
         return lax.scan(step_fn, carry, (keys, counts))
@@ -263,12 +275,24 @@ def run_mfm(
     all_keys = jax.random.split(key_loop, n_iter)
     counts = jnp.arange(1, n_iter + 1)
 
+    # resume from the latest checkpoint when one exists
+    done = 0
+    if cfg.checkpoint_dir is not None:
+        from mfm_tpu.utils.checkpoint import restore_checkpoint
+
+        restored, ckpt_step = restore_checkpoint(
+            cfg.checkpoint_dir, template=carry
+        )
+        if restored is not None:
+            carry = MFMCarry(*restored) if not isinstance(restored, MFMCarry) else restored
+            done = int(ckpt_step)
+
     # warm up compile before timing (parity with the reference's post-jit
     # train_start, exe_flow_matching.py:421)
     jax.block_until_ready(carry)
     metrics_chunks = []
     train_start = time.time()
-    done = 0
+    chunks_done = 0
     while done < n_iter:
         take = min(chunk, n_iter - done)
         carry, m = run_chunk(
@@ -276,11 +300,20 @@ def run_mfm(
         )
         metrics_chunks.append(m)
         done += take
+        chunks_done += 1
         if logger is not None:
             chunk_mean = {k: float(jnp.mean(v)) for k, v in m.items()}
             chunk_mean["iter"] = done
             chunk_mean["train_time"] = time.time() - train_start
             logger.log(chunk_mean)
+        if (
+            cfg.checkpoint_dir is not None
+            and cfg.checkpoint_every_chunks
+            and chunks_done % cfg.checkpoint_every_chunks == 0
+        ):
+            from mfm_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(cfg.checkpoint_dir, done, jax.device_get(carry))
     jax.block_until_ready(carry)
     train_time = time.time() - train_start
 

@@ -1,0 +1,154 @@
+"""Infrastructure: CLI smoke run, checkpoint save/restore + resume,
+MetricLogger, plots."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfm_tpu.config import MFMConfig, preset
+from mfm_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from mfm_tpu.utils.logging import MetricLogger
+
+
+class TestConfig:
+    def test_presets_match_reference_overrides(self):
+        pf = preset("phi-four")
+        assert pf.dim == 64 and pf.num_chain == 1024 and pf.step_size == 1e-4
+        pines = preset("pines")
+        assert pines.dim == 1600 and pines.hidden_x == (1024, 1024)
+        assert pines.score_clip == 1.0  # dim > 128 activates score clipping
+        fm = preset("4-mode")
+        assert fm.score_clip is None
+        with pytest.raises(ValueError):
+            preset("nope")
+        with pytest.raises(ValueError):
+            preset("4-mode", not_a_field=1)
+
+    def test_interleave_rule(self):
+        from mfm_tpu.drivers.mfm import _interleave_is_flow
+
+        # ratio 10: flow step every 11th iteration
+        flows = [bool(_interleave_is_flow(c, 10.0)) for c in range(1, 23)]
+        assert sum(flows) == 2 and flows[10] and flows[21]
+        # ratio 0.5: one MALA step every 3rd iteration, rest flow
+        malas = [not _interleave_is_flow(c, 0.5) for c in range(1, 13)]
+        assert sum(malas) == 4
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        state = {
+            "a": jnp.arange(5, dtype=jnp.float32),
+            "b": (jnp.ones((2, 2)), jnp.asarray(3)),
+        }
+        d = str(tmp_path / "ckpt")
+        save_checkpoint(d, 7, jax.device_get(state))
+        assert latest_step(d) == 7
+        restored, step = restore_checkpoint(d, template=state)
+        assert step == 7
+        np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5))
+
+    def test_mfm_resume(self, tmp_path):
+        """Interrupted run + resume lands near a straight-through run."""
+        from mfm_tpu.drivers import run_mfm
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        common = dict(
+            example="4-mode", dim=2, num_chain=16, learning_iter=20,
+            hidden_x=(8,), hidden_t=(8,), hidden_xt=(8,), fourier_dim=4,
+            ode_steps=4, chunk_size=10,
+        )
+        d = str(tmp_path / "run_ckpt")
+        # phase 1: run 10 iters (1 chunk) with checkpointing, stop
+        cfg1 = MFMConfig(**common, checkpoint_dir=d, checkpoint_every_chunks=1)
+        cfg1.learning_iter = 10
+        run_mfm(target, cfg1)
+        assert latest_step(d) == 10
+        # phase 2: full-length config resumes from step 10
+        cfg2 = MFMConfig(**common, checkpoint_dir=d, checkpoint_every_chunks=0)
+        run2 = run_mfm(target, cfg2)
+        assert np.isfinite(np.asarray(run2.metrics["loss"])).all()
+        # only the remaining chunk was executed
+        assert np.asarray(run2.metrics["loss"]).shape[0] == 10
+
+
+class TestLogger:
+    def test_jsonl_backend(self, tmp_path):
+        log = MetricLogger(run_dir=str(tmp_path), run_name="t")
+        log.log({"loss": 1.5, "iter": 1})
+        log.summary({"final": 2.0})
+        log.finish()
+        lines = [
+            json.loads(line)
+            for line in open(tmp_path / "t.jsonl")
+        ]
+        assert lines[0]["loss"] == 1.5
+        assert lines[1]["_summary"] and lines[1]["final"] == 2.0
+
+    def test_no_dir_is_fine(self):
+        log = MetricLogger()
+        log.log({"x": 1})
+        log.finish()
+
+
+class TestPlots:
+    def test_pair_scatter_and_contours(self, key):
+        from mfm_tpu.drivers.plots import pair_scatter, save_figs
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        xs = target.sample(key, (100,))
+        figs = pair_scatter(
+            xs, xs, lim=(-16, 16), log_prob_fn=target.log_prob, grid_width=40,
+            levels=10,
+        )
+        assert len(figs) == 1
+
+    def test_phi_four_fields(self, key):
+        from mfm_tpu.drivers.plots import phi_four_fields
+
+        xs = jax.random.normal(key, (20, 16))
+        fig = phi_four_fields(xs, xs)
+        assert fig is not None
+
+
+class TestCLI:
+    def test_smoke(self, tmp_path, capsys, monkeypatch):
+        """Tiny single-seed CLI run end-to-end."""
+        from mfm_tpu import cli
+
+        monkeypatch.chdir(tmp_path)
+        cli.main(
+            [
+                "--example", "4-mode", "--seed", "0",
+                "--learning-iter", "30", "--num-chain", "16",
+                "--ode-steps", "4", "--chunk-size", "15",
+                "--run-dir", str(tmp_path / "runs"),
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "logprob" in out and "\\pm" in out
+
+    def test_smc_smoke(self, tmp_path, capsys):
+        from mfm_tpu import cli
+
+        cli.main(
+            [
+                "--example", "4-mode", "--seed", "0", "--do-smc",
+                "--learning-iter", "10", "--num-chain", "64",
+                "--run-dir", str(tmp_path / "runs"),
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "SMC" in out
+
+    def test_external_baseline_gated(self):
+        from mfm_tpu import cli
+
+        with pytest.raises(SystemExit, match="fabjax"):
+            cli.main(["--example", "4-mode", "--do-fab"])
