@@ -123,3 +123,39 @@ def preset(example: str, **overrides) -> MFMConfig:
             raise ValueError(f"unknown config field {k!r}")
         setattr(cfg, k, v)
     return cfg
+
+
+def from_yaml(path: str, **overrides) -> MFMConfig:
+    """Load a config from YAML (the reference's second config tier uses
+    hydra YAML composition for the FAB baseline, config/*.yaml;
+    exe_others.py:58-59 — here one flat YAML with an optional ``include``
+    chain and an optional ``example`` preset base).
+
+    Resolution order: preset(example) if given -> included file(s) ->
+    this file's fields -> keyword overrides.
+    """
+    import os
+
+    import yaml
+
+    def collect(p):
+        """Depth-first: included files contribute only their explicit fields."""
+        with open(p) as fh:
+            raw = dict(yaml.safe_load(fh) or {})
+        include = raw.pop("include", None)
+        fields = {}
+        if include is not None:
+            fields.update(collect(os.path.join(os.path.dirname(p), include)))
+        fields.update(raw)
+        return fields
+
+    merged = {**collect(path), **overrides}
+    example = merged.pop("example", None)
+    cfg = preset(example) if example is not None else MFMConfig()
+    for k, v in merged.items():
+        if not hasattr(cfg, k):
+            raise ValueError(f"unknown config field {k!r} in {path}")
+        if isinstance(getattr(cfg, k), tuple) and isinstance(v, list):
+            v = tuple(v)
+        setattr(cfg, k, v)
+    return cfg

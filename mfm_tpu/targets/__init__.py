@@ -13,6 +13,7 @@ from mfm_tpu.targets.gaussian import (
     four_mode_mixture,
     random_mixture,
 )
+from mfm_tpu.targets.funnel import Funnel, ManyWell
 from mfm_tpu.targets.phi_four import PhiFour, PhiFourBase
 
 REF_DISTS = {
@@ -39,6 +40,8 @@ __all__ = [
     "GaussianMixture",
     "four_mode_mixture",
     "random_mixture",
+    "Funnel",
+    "ManyWell",
     "PhiFour",
     "PhiFourBase",
     "LogGaussianCoxPines",
