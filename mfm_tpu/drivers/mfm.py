@@ -81,13 +81,10 @@ def next_beta(prev_beta, logliks, alpha: float, n_chain: int, n_iters: int = 30)
 
 
 def tempered_value_and_score(target: Target):
-    """(x, beta) -> (logdensity, grad) of beta * loglik + logprior, batched."""
-
-    def vs(x, beta):
-        single = lambda xi: beta * target.log_lik(xi) + target.log_prior(xi)
-        return jax.vmap(jax.value_and_grad(single))(x)
-
-    return vs
+    """(x, beta) -> (logdensity, grad) of beta * loglik + logprior, batched.
+    Delegates to the target, which may provide an analytic fused path
+    (e.g. LGCP's precision-GEMM score)."""
+    return target.tempered_value_and_score
 
 
 def _interleave_is_flow(count, mcmc_per_flow_steps: float):

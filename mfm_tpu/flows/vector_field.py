@@ -36,11 +36,12 @@ NON_LINEARITIES = {
 class MLP(nn.Module):
     features: Sequence[int]
     act: Callable
+    precision: Optional[jax.lax.Precision] = None
 
     @nn.compact
     def __call__(self, h):
         for width in self.features:
-            h = self.act(nn.Dense(width)(h))
+            h = self.act(nn.Dense(width, precision=self.precision)(h))
         return h
 
 
@@ -62,6 +63,10 @@ class VectorFieldNet(nn.Module):
     act: Callable = jax.nn.relu
     score_fn: Optional[Callable] = None
     score_clip: Optional[float] = None
+    # CNF transport demands forward/inverse logdet consistency; TPU's default
+    # bf16 matmuls perturb the map enough to bias MH acceptance ratios, so
+    # the field runs at full f32 precision unless explicitly relaxed.
+    precision: Optional[jax.lax.Precision] = jax.lax.Precision.HIGHEST
 
     @nn.compact
     def __call__(self, x, t):
@@ -75,17 +80,19 @@ class VectorFieldNet(nn.Module):
         ang = (2.0 * jnp.pi) * t[:, None] * self.fourier_freqs[None, :]
         tfeat = jnp.concatenate([jnp.cos(ang), jnp.sin(ang)], axis=-1)
 
-        signal_t = MLP(self.hidden_t, self.act, name="t_trunk")(tfeat)
-        signal_x = MLP(self.hidden_x, self.act, name="x_trunk")(x)
+        signal_t = MLP(self.hidden_t, self.act, self.precision, name="t_trunk")(tfeat)
+        signal_x = MLP(self.hidden_x, self.act, self.precision, name="x_trunk")(x)
 
-        gate = nn.Dense(dim, kernel_init=nn.initializers.zeros_init(), name="gate_head")(
-            signal_t
-        )
+        gate = nn.Dense(
+            dim, kernel_init=nn.initializers.zeros_init(),
+            precision=self.precision, name="gate_head",
+        )(signal_t)
         joint = jnp.concatenate([signal_x, signal_t], axis=-1)
-        joint = MLP(self.hidden_xt, self.act, name="xt_trunk")(joint)
-        field = nn.Dense(dim, kernel_init=nn.initializers.zeros_init(), name="field_head")(
-            joint
-        )
+        joint = MLP(self.hidden_xt, self.act, self.precision, name="xt_trunk")(joint)
+        field = nn.Dense(
+            dim, kernel_init=nn.initializers.zeros_init(),
+            precision=self.precision, name="field_head",
+        )(joint)
 
         if self.score_fn is not None:
             score = self.score_fn(x)

@@ -88,6 +88,14 @@ class Target:
         """``beta * log_lik + log_prior`` (reference exe_flow_matching.py:301)."""
         return beta * self.log_lik(x) + self.log_prior(x)
 
+    def tempered_value_and_score(self, x: jax.Array, beta):
+        """(tempered log-density, its gradient), batched. Targets with
+        analytic scores override this to avoid autodiff (e.g. LGCP)."""
+        single = jax.value_and_grad(lambda v: self.tempered_log_prob(v, beta))
+        if x.ndim == 1:
+            return single(x)
+        return jax.vmap(single)(x)
+
 
 def as_logprob_fn(target: Target, beta: Optional[jax.Array] = None):
     """Single-sample ``(d,) -> scalar`` closure, optionally tempered."""

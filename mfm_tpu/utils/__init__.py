@@ -1,7 +1,15 @@
-from mfm_tpu.utils.pytree import ravel_batch, tree_stack, pytree_size
+from mfm_tpu.utils.pytree import (
+    gaussian_like,
+    linear_map,
+    pytree_size,
+    ravel_batch,
+    tree_stack,
+)
 from mfm_tpu.utils.random import split_batch, fold_in_batch
 
 __all__ = [
+    "gaussian_like",
+    "linear_map",
     "ravel_batch",
     "tree_stack",
     "pytree_size",

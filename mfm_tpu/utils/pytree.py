@@ -35,3 +35,27 @@ def ravel_batch(tree):
 def tree_stack(trees):
     """Stack a list of identical-structure pytrees along a new leading axis."""
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def gaussian_like(key, tree, mu=0.0, sigma=1.0):
+    """N(mu, sigma^2) noise shaped like ``tree`` (counterpart of the
+    reference's generate_gaussian_noise, bblackjax/util.py:57-82, without
+    the ravel/unravel round-trip: per-leaf subkeys keep leaves independent)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    noise = [
+        mu + sigma * jax.random.normal(k, leaf.shape, leaf.dtype)
+        for k, leaf in zip(keys, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, noise)
+
+
+def linear_map(diag_or_dense, vec, *, precision="highest"):
+    """y = A x with diagonal-vs-dense dispatch at full precision
+    (counterpart of bblackjax/util.py:14-52)."""
+    dtype = jnp.result_type(diag_or_dense.dtype, vec.dtype)
+    a = diag_or_dense.astype(dtype)
+    b = vec.astype(dtype)
+    if a.ndim <= 1:
+        return a * b
+    return jax.lax.dot(a, b, precision=precision)

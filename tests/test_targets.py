@@ -212,6 +212,27 @@ class TestLogGaussianCoxPines:
         xs = lgcp.init_positions(key, 3)
         assert jnp.all(jnp.isfinite(lgcp.score(xs)))
 
+    def test_analytic_score_matches_autodiff(self, lgcp, key):
+        """The precision-GEMM fused score must equal autodiff of the
+        solve-based density."""
+        xs = lgcp.init_positions(key, 4)
+        val, grad = lgcp.tempered_value_and_score(xs, 0.7)
+        auto = jax.vmap(
+            jax.value_and_grad(
+                lambda x: 0.7 * lgcp.log_lik(x) + lgcp.log_prior(x)
+            )
+        )(xs)
+        np.testing.assert_allclose(val, auto[0], rtol=2e-4)
+        np.testing.assert_allclose(grad, auto[1], rtol=2e-3, atol=2e-2)
+
+    def test_analytic_score_whitened(self, key):
+        white = LogGaussianCoxPines(dim=64, whitened=True)
+        xs = jax.random.normal(key, (4, 64))
+        val, grad = white.tempered_value_and_score(xs, 1.0)
+        auto = jax.vmap(jax.value_and_grad(white.log_prob))(xs)
+        np.testing.assert_allclose(val, auto[0], rtol=2e-4)
+        np.testing.assert_allclose(grad, auto[1], rtol=2e-3, atol=2e-2)
+
 
 class TestTempering:
     def test_split(self, key):
