@@ -121,6 +121,18 @@ def bench_pines_step(n_chain=128, n_steps=50):
     return {"chain_steps_per_sec": n_chain * n_steps / t}
 
 
+def bench_mfm_example(example: str, n_iter: int, **overrides):
+    """Steady-state MFM training throughput on a real benchmark config
+    (compile excluded by the driver's warm chunk)."""
+    from mfm_tpu.cli import make_target
+    from mfm_tpu.config import preset
+    from mfm_tpu.drivers import run_mfm
+
+    cfg = preset(example, learning_iter=n_iter, chunk_size=n_iter, **overrides)
+    run = run_mfm(make_target(example), cfg)
+    return {"iters_per_sec": n_iter / run.train_time}
+
+
 def main():
     details = {"device": str(jax.devices()[0])}
     mfm = bench_mfm_4mode()
@@ -128,6 +140,12 @@ def main():
     try:
         details["phi_four_mala"] = bench_phi_four_mala()
         details["pines_mala"] = bench_pines_step()
+        details["mfm_phi_four_100to1"] = bench_mfm_example(
+            "phi-four", 303, mcmc_per_flow_steps=100.0
+        )
+        details["mfm_pines_100to1"] = bench_mfm_example(
+            "pines", 120, mcmc_per_flow_steps=100.0
+        )
     except Exception as e:  # secondary benches must not kill the headline
         details["secondary_error"] = repr(e)
 

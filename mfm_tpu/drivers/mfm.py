@@ -284,9 +284,16 @@ def run_mfm(
             carry = MFMCarry(*restored) if not isinstance(restored, MFMCarry) else restored
             done = int(ckpt_step)
 
-    # warm up compile before timing (parity with the reference's post-jit
-    # train_start, exe_flow_matching.py:421)
+    # Warm-compile the chunk program so train_time measures steady-state
+    # throughput. (The reference's "post jit" timer, exe_flow_matching.py:421,
+    # still pays first-call compilation inside the loop.)
     jax.block_until_ready(carry)
+    if done < n_iter:
+        first = min(chunk, n_iter - done)
+        warm = run_chunk(
+            carry, all_keys[done : done + first], counts[done : done + first]
+        )
+        jax.block_until_ready(warm)  # populates the jit cache; result unused
     metrics_chunks = []
     train_start = time.time()
     chunks_done = 0
