@@ -4,12 +4,17 @@ from mfm_tpu.kernels.base import (
     ChainState,
     SamplingAlgorithm,
 )
-from mfm_tpu.kernels import mala
+from mfm_tpu.kernels import cis, hmc, mala, nuts, proposal, tess
 
 __all__ = [
     "AdaptationAlgorithm",
     "ChainInfo",
     "ChainState",
     "SamplingAlgorithm",
+    "cis",
+    "hmc",
     "mala",
+    "nuts",
+    "proposal",
+    "tess",
 ]
