@@ -42,6 +42,9 @@ class MFMConfig:
     mcmc_per_flow_steps: float = 10.0  # <0 trains on exact target samples
     num_chain: int = 128
     step_size: float = 0.2
+    mcmc_kernel: str = "mala"  # mala | hmc | nuts (reference hardcodes MALA)
+    hmc_num_integration_steps: int = 10
+    nuts_max_depth: int = 6
     learning_iter: int = 400
     eval_iter: int = 100
 

@@ -2,6 +2,7 @@ from mfm_tpu.diagnostics.metrics import (
     autocorrelation,
     effective_sample_size,
     max_mean_disc,
+    potential_scale_reduction,
     stein_disc,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "autocorrelation",
     "effective_sample_size",
     "max_mean_disc",
+    "potential_scale_reduction",
     "stein_disc",
 ]

@@ -165,6 +165,25 @@ def autocorrelation(x: np.ndarray, axis: int = 0) -> np.ndarray:
     return np.swapaxes(ac, axis, -1)
 
 
+def potential_scale_reduction(chains: np.ndarray) -> np.ndarray:
+    """Split-R-hat over a (n_steps, n_chains, d) sample block (Gelman et al.;
+    new capability — the reference has no convergence diagnostic)."""
+    x = np.asarray(chains)
+    if x.ndim == 2:
+        x = x[:, :, None]
+    T = x.shape[0] - (x.shape[0] % 2)
+    half = T // 2
+    # split each chain in two
+    x = np.concatenate([x[:half], x[half:T]], axis=1)  # (half, 2m, d)
+    n, m, d = x.shape
+    chain_means = x.mean(axis=0)  # (m, d)
+    chain_vars = x.var(axis=0, ddof=1)  # (m, d)
+    between = n * chain_means.var(axis=0, ddof=1)
+    within = chain_vars.mean(axis=0)
+    var_plus = (n - 1) / n * within + between / n
+    return np.sqrt(var_plus / within)
+
+
 def effective_sample_size(x: np.ndarray) -> np.ndarray:
     """Per-dimension ESS of a (T, d) chain via Geyer's initial positive
     sequence on FFT autocorrelations (new capability; the reference stops at

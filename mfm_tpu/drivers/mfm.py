@@ -171,14 +171,31 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array):
 
         vs = lambda x: vs_fn(x, beta)
         tgt = FlowTarget(vs, ref_dist.log_prob, ref_dist.sample)
-        mala_kernel = mala.build_kernel(vs)
 
         def do_flow(k):
             new, info = flow_kernel(k, chain, train_params, transport, tgt)
             return new, info.acceptance_rate
 
+        if cfg.mcmc_kernel == "mala":
+            mcmc = mala.build_kernel(vs)
+            do_mcmc = lambda k: mcmc(k, chain, cfg.step_size)
+        elif cfg.mcmc_kernel == "hmc":
+            from mfm_tpu.kernels import hmc
+
+            mcmc = hmc.build_kernel(vs)
+            do_mcmc = lambda k: mcmc(
+                k, chain, cfg.step_size, cfg.hmc_num_integration_steps
+            )
+        elif cfg.mcmc_kernel == "nuts":
+            from mfm_tpu.kernels import nuts
+
+            mcmc = nuts.build_kernel(vs, cfg.nuts_max_depth)
+            do_mcmc = lambda k: mcmc(k, chain, cfg.step_size)
+        else:
+            raise ValueError(f"unknown mcmc_kernel {cfg.mcmc_kernel!r}")
+
         def do_mala(k):
-            new, info = mala_kernel(k, chain, cfg.step_size)
+            new, info = do_mcmc(k)
             return new, info.acceptance_rate
 
         return lax.cond(

@@ -117,3 +117,20 @@ class TestAutocorr:
         ess_corr = effective_sample_size(x[:, None])[0]
         # theory: ESS ~= N (1-rho)/(1+rho) ~= N/39
         assert ess_corr < 500
+
+
+class TestRhat:
+    def test_converged_chains_near_one(self, key):
+        from mfm_tpu.diagnostics import potential_scale_reduction
+
+        x = np.asarray(jax.random.normal(key, (500, 8, 2)))
+        rhat = potential_scale_reduction(x)
+        np.testing.assert_allclose(rhat, 1.0, atol=0.05)
+
+    def test_disjoint_chains_flagged(self, key):
+        from mfm_tpu.diagnostics import potential_scale_reduction
+
+        x = np.array(jax.random.normal(key, (500, 4, 1)))
+        x[:, :2] += 10.0  # two chains stuck elsewhere
+        rhat = potential_scale_reduction(x)
+        assert rhat[0] > 2.0

@@ -142,3 +142,19 @@ class TestMFMVariants:
         )
         run = run_mfm(target, cfg)
         assert np.isfinite(np.asarray(run.metrics["loss"])).all()
+
+
+class TestMFMKernelChoice:
+    def test_hmc_kernel(self):
+        target = four_mode_mixture()
+        cfg = _small_cfg(mcmc_kernel="hmc", hmc_num_integration_steps=5,
+                         learning_iter=30, chunk_size=30)
+        run = run_mfm(target, cfg)
+        assert np.isfinite(np.asarray(run.metrics["loss"])).all()
+
+    def test_nuts_kernel(self):
+        target = four_mode_mixture()
+        cfg = _small_cfg(mcmc_kernel="nuts", nuts_max_depth=3,
+                         learning_iter=20, chunk_size=20)
+        run = run_mfm(target, cfg)
+        assert np.isfinite(np.asarray(run.metrics["loss"])).all()
