@@ -24,7 +24,6 @@ from typing import Callable, NamedTuple, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from mfm_tpu.utils.pytree import tree_stack  # noqa: F401  (re-export convenience)
 
 
 class AdaptState(NamedTuple):

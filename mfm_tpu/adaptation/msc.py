@@ -9,7 +9,6 @@ the chain positions (or a stochastic objective driven by per-step keys).
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from mfm_tpu.adaptation import chain_adaptation
 from mfm_tpu.adaptation.optimize import optimize

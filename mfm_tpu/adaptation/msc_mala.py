@@ -13,7 +13,6 @@ ensemble kernel.
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from mfm_tpu.adaptation.msc import chain_adaptation, optimize
 from mfm_tpu.kernels import mala

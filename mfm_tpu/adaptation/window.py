@@ -13,7 +13,7 @@ with step-size-only adaptation in fast windows and mass+step in slow ones;
 the step size re-anchors at each slow-window boundary.
 """
 
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

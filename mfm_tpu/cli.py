@@ -17,7 +17,6 @@ import argparse
 import logging
 
 import jax
-import jax.numpy as jnp
 
 from mfm_tpu.config import preset
 from mfm_tpu.drivers import evaluate_samples, run_mfm, run_smc, sample_flow

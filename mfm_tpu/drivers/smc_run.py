@@ -50,26 +50,38 @@ def run_smc(
     state = algo.init(init_positions)
 
     @jax.jit
-    def scan_steps(state, keys):
+    def run_phase(state, keys):
+        """Tempering phase: no particle history is materialized."""
+
         def body(carry, k):
             state, logz = carry
             state, info = algo.step(k, state)
-            return (state, logz + info.log_likelihood_increment), state.particles
+            return (state, logz + info.log_likelihood_increment), None
 
-        return jax.lax.scan(body, (state, jnp.zeros(())), keys)
+        return jax.lax.scan(body, (state, jnp.zeros(())), keys)[0]
+
+    @jax.jit
+    def harvest_phase(state, keys):
+        """Sample harvest: keep per-step particles (exe_others.py:108-111)."""
+
+        def body(state, k):
+            state, _ = algo.step(k, state)
+            return state, state.particles
+
+        return jax.lax.scan(body, state, keys)
 
     # entire tempering run is one on-device scan (the reference jits the
-    # step but already scans, exe_others.py:96-104)
+    # step but already scans, exe_others.py:96-104); warm-compile first so
+    # train_time is steady-state
     run_keys = jax.random.split(key_run, cfg.learning_iter)
-    (state, log_z), _ = jax.tree_util.tree_map(lambda x: x, scan_steps(state, run_keys))
-    jax.block_until_ready(state)
+    warm = run_phase(state, run_keys)
+    jax.block_until_ready(warm)
     start = time.time()
-    (state, log_z), _ = scan_steps(algo.init(init_positions), run_keys)
+    state, log_z = run_phase(state, run_keys)
     jax.block_until_ready(state)
     train_time = time.time() - start
 
-    # harvest eval_iter more steps of particles (exe_others.py:108-111)
     harvest_keys = jax.random.split(key_harvest, cfg.eval_iter)
-    (_, _), particle_hist = scan_steps(state, harvest_keys)
+    _, particle_hist = harvest_phase(state, harvest_keys)
     samples = particle_hist.reshape(-1, cfg.dim)
     return SMCRunResult(samples, state.lmbda, log_z, train_time)

@@ -15,7 +15,7 @@ transport threads through unchanged.
 """
 
 from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

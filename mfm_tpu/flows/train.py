@@ -13,7 +13,7 @@ The train step itself lives in the drivers; this module only builds pure
 optimizer state so it can be carried through ``lax.scan``.
 """
 
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import optax

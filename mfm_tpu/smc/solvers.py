@@ -11,7 +11,7 @@ Two solvers:
   exe_flow_matching.py:400).
 """
 
-from functools import partial
+
 from typing import Callable
 
 import jax
