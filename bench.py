@@ -134,24 +134,14 @@ def bench_mfm_example(example: str, n_iter: int, **overrides):
 
 
 def main():
+    import sys
+
     details = {"device": str(jax.devices()[0])}
     mfm = bench_mfm_4mode()
     details["mfm_4mode"] = mfm
-    try:
-        details["phi_four_mala"] = bench_phi_four_mala()
-        details["pines_mala"] = bench_pines_step()
-        details["mfm_phi_four_100to1"] = bench_mfm_example(
-            "phi-four", 303, mcmc_per_flow_steps=100.0
-        )
-        details["mfm_pines_100to1"] = bench_mfm_example(
-            "pines", 120, mcmc_per_flow_steps=100.0
-        )
-    except Exception as e:  # secondary benches must not kill the headline
-        details["secondary_error"] = repr(e)
 
-    with open("BENCH_DETAILS.json", "w") as fh:
-        json.dump(details, fh, indent=2)
-
+    # the headline line goes out immediately; detail benches follow and may
+    # be cut off by an external timeout without losing the result
     print(
         json.dumps(
             {
@@ -162,6 +152,22 @@ def main():
             }
         )
     )
+    sys.stdout.flush()
+
+    for name, fn in [
+        ("phi_four_mala", bench_phi_four_mala),
+        ("pines_mala", bench_pines_step),
+        ("mfm_phi_four_100to1", lambda: bench_mfm_example(
+            "phi-four", 303, mcmc_per_flow_steps=100.0)),
+        ("mfm_pines_100to1", lambda: bench_mfm_example(
+            "pines", 120, mcmc_per_flow_steps=100.0)),
+    ]:
+        try:
+            details[name] = fn()
+        except Exception as e:  # secondary benches must not kill the headline
+            details[name] = {"error": repr(e)}
+        with open("BENCH_DETAILS.json", "w") as fh:
+            json.dump(details, fh, indent=2)
 
 
 if __name__ == "__main__":
