@@ -28,3 +28,7 @@ __all__ = [
     "SMCRunResult",
     "run_smc",
 ]
+
+from mfm_tpu.drivers.multi_seed import SeedSweep, run_mfm_seeds  # noqa: E402
+
+__all__ += ["SeedSweep", "run_mfm_seeds"]

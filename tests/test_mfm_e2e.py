@@ -158,3 +158,24 @@ class TestMFMKernelChoice:
                          learning_iter=20, chunk_size=20)
         run = run_mfm(target, cfg)
         assert np.isfinite(np.asarray(run.metrics["loss"])).all()
+
+
+class TestMultiSeed:
+    def test_vmapped_seed_sweep(self):
+        from mfm_tpu.drivers import run_mfm_seeds
+
+        target = four_mode_mixture()
+        cfg = _small_cfg(learning_iter=40, chunk_size=40, num_chain=32,
+                         hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,),
+                         fourier_dim=8, ode_steps=6)
+        sweep = run_mfm_seeds(target, cfg, [0, 1, 2])
+        assert sweep.positions.shape == (3, 32, 2)
+        assert np.isfinite(np.asarray(sweep.metrics["loss"])).all()
+        assert np.asarray(sweep.beta).min() > 0
+        # seeds must differ end to end
+        assert not np.allclose(
+            np.asarray(sweep.positions[0]), np.asarray(sweep.positions[1])
+        )
+        assert not np.allclose(
+            np.asarray(sweep.fourier[0]), np.asarray(sweep.fourier[1])
+        )
