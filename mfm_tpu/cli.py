@@ -91,6 +91,52 @@ def run_one(target, cfg, args):
     return flow_row, exact_row
 
 
+def run_seeds_vmapped(target, cfg, seeds, args):
+    """All seeds trained as one vmapped program; per-seed evaluation."""
+    import jax.numpy as jnp
+
+    from mfm_tpu.drivers import run_mfm_seeds
+    from mfm_tpu.drivers.mfm import sample_flow_parts
+    from mfm_tpu.flows import NON_LINEARITIES, VectorFieldNet, make_transport
+    from mfm_tpu.targets import make_ref_dist
+
+    sweep = run_mfm_seeds(target, cfg, seeds)
+    per_seed_time = sweep.train_time / len(seeds)
+    ref_dist = make_ref_dist(cfg.ref_dist, cfg.dim)
+    n_eval = cfg.eval_iter * cfg.num_chain
+    real_samples = None
+    if target.can_sample:
+        real_samples = target.sample(jax.random.PRNGKey(1000), (n_eval,))
+
+    rows, rows_exact = [], []
+    for i, seed in enumerate(seeds):
+        net = VectorFieldNet(
+            fourier_freqs=sweep.fourier[i],
+            hidden_x=tuple(cfg.hidden_x),
+            hidden_t=tuple(cfg.hidden_t),
+            hidden_xt=tuple(cfg.hidden_xt),
+            act=NON_LINEARITIES[cfg.non_linearity],
+            score_fn=target.score,
+            score_clip=cfg.score_clip,
+        )
+        transport = make_transport(
+            net.apply, divergence=cfg.divergence, n_steps=cfg.ode_steps,
+            method=cfg.ode_method,
+        )
+        params_i = jax.tree_util.tree_map(lambda p: p[i], sweep.params)
+        fs, es, _ = sample_flow_parts(
+            transport, params_i, ref_dist,
+            jax.random.fold_in(jax.random.PRNGKey(seed), 999), n_eval, target,
+        )
+        m = evaluate_samples(target, fs, es, real_samples)
+        rows.append([m["logpdf"], m["stein_u"], m["stein_v"], m["mmd"], per_seed_time])
+        rows_exact.append(
+            [m["logpdf_star"], m["stein_u_star"], m["stein_v_star"],
+             m["mmd_star"], per_seed_time]
+        )
+    return rows, rows_exact
+
+
 def main(argv=None):
     logging.basicConfig(
         format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
@@ -121,6 +167,10 @@ def main(argv=None):
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--run-dir", default="runs")
     p.add_argument("--chunk-size", type=int, default=None)
+    p.add_argument("--mcmc-kernel", default="mala", choices=["mala", "hmc", "nuts"])
+    p.add_argument("--vmap-seeds", action="store_true",
+                   help="run all replication seeds as one vmapped program "
+                        "(training only; evaluation falls back per seed)")
     args = p.parse_args(argv)
 
     for flag, pkg in [("do_fab", "fabjax"), ("do_flowmc", "flowMC"), ("do_dds", "dds")]:
@@ -148,16 +198,20 @@ def main(argv=None):
         if val is not None:
             overrides[name] = val
 
+    overrides["mcmc_kernel"] = args.mcmc_kernel
     cfg = preset(args.example, **overrides)
     target = make_target(args.example)
 
     seeds = [args.seed] if args.seed is not None else [i**10 for i in range(10)]
     rows, rows_exact = [], []
-    for seed in seeds:
-        cfg.seed = seed
-        fr, er = run_one(target, cfg, args)
-        rows.append(fr)
-        rows_exact.append(er)
+    if args.vmap_seeds and not args.do_smc:
+        rows, rows_exact = run_seeds_vmapped(target, cfg, seeds, args)
+    else:
+        for seed in seeds:
+            cfg.seed = seed
+            fr, er = run_one(target, cfg, args)
+            rows.append(fr)
+            rows_exact.append(er)
 
     import numpy as np
 

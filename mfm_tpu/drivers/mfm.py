@@ -353,8 +353,10 @@ def run_mfm(
     )
 
 
-def sample_flow(
-    run: MFMRun,
+def sample_flow_parts(
+    transport,
+    params,
+    ref_dist: Target,
     key: jax.Array,
     n_samples: int,
     target: Target,
@@ -365,10 +367,10 @@ def sample_flow(
     Returns (flow_samples, exact_samples, log_weights).
     """
     key_ref, key_hutch, key_choice = jax.random.split(key, 3)
-    u = run.ref_dist.sample(key_ref, (n_samples,))
-    flow_samples, logdet = run.transport.forward(run.train.params, u, key_hutch)
+    u = ref_dist.sample(key_ref, (n_samples,))
+    flow_samples, logdet = transport.forward(params, u, key_hutch)
     logpdf = target.log_prob(flow_samples)
-    log_q = run.ref_dist.log_prob(u) - logdet
+    log_q = ref_dist.log_prob(u) - logdet
     log_w = logpdf - log_q
     log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
     # categorical resampling directly in log space (the reference
@@ -376,3 +378,9 @@ def sample_flow(
     idx = jax.random.categorical(key_choice, log_w, shape=(n_samples,))
     exact_samples = flow_samples[idx]
     return flow_samples, exact_samples, log_w
+
+
+def sample_flow(run: MFMRun, key: jax.Array, n_samples: int, target: Target):
+    return sample_flow_parts(
+        run.transport, run.train.params, run.ref_dist, key, n_samples, target
+    )

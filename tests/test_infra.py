@@ -152,3 +152,19 @@ class TestCLI:
 
         with pytest.raises(SystemExit, match="fabjax"):
             cli.main(["--example", "4-mode", "--do-fab"])
+
+
+class TestCLIVmapSeeds:
+    def test_vmap_seeds_smoke(self, tmp_path, capsys):
+        from mfm_tpu import cli
+
+        cli.main(
+            [
+                "--example", "4-mode", "--vmap-seeds",
+                "--learning-iter", "20", "--num-chain", "16",
+                "--ode-steps", "4", "--chunk-size", "20",
+                "--run-dir", str(tmp_path / "runs"),
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "logprob" in out
