@@ -36,6 +36,7 @@ class MFMConfig:
     hutchinson: bool = False
     ode_steps: int = 24
     ode_method: str = "rk4"
+    field_precision: str = "highest"  # 'default' = bf16 MXU (2x less HBM traffic)
 
     # interleaving & kernels (reference multi_modal.py:167-172)
     num_importance_samples: int = 0  # >0 CIS, <0 indep-MH, 0 pullback-RWM

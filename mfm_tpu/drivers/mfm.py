@@ -117,6 +117,7 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array):
         fourier_std=cfg.fourier_std,
         non_linearity=cfg.non_linearity,
         score_clip=cfg.score_clip,
+        precision=cfg.field_precision,
     )
     transport = make_transport(
         apply_fn, divergence=cfg.divergence, n_steps=cfg.ode_steps, method=cfg.ode_method

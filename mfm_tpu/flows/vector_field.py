@@ -114,15 +114,23 @@ def make_vector_field(
     fourier_std: float = 1.0,
     non_linearity: str = "relu",
     score_clip: Optional[float] = None,
+    precision: str = "highest",
 ):
     """Build the net and its initial parameters.
 
     Returns ``(apply_fn, params)`` where ``apply_fn(params, x, t)`` is
     batch-first. Defaults mirror the reference flags
     (/root/reference/multi_modal.py:156-180).
+
+    ``precision``: 'highest' (default — exact-f32 MXU matmuls, safest for
+    fwd/inv logdet consistency) or 'default' (TPU-native bf16 multiply with
+    f32 accumulate — ~2x less weight traffic on large fields; fwd/inverse
+    still use the identical function, so MH acceptance stays well-defined
+    against the bf16-defined flow).
     """
     key_freq, key_init = jax.random.split(key)
     freqs = fourier_std * jax.random.normal(key_freq, (fourier_dim,))
+    prec = jax.lax.Precision.HIGHEST if precision == "highest" else None
     net = VectorFieldNet(
         fourier_freqs=freqs,
         hidden_x=tuple(hidden_x),
@@ -131,6 +139,7 @@ def make_vector_field(
         act=NON_LINEARITIES[non_linearity],
         score_fn=score_fn,
         score_clip=score_clip,
+        precision=prec,
     )
     params = net.init(key_init, jnp.zeros((1, dim)), jnp.zeros((1,)))
     return net.apply, params
