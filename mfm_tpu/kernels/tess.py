@@ -81,11 +81,11 @@ def build_kernel(max_subiter: int = 100) -> Callable:
         s = slice_fn(u, m)
 
         def cond(carry):
-            key, s, subiter, theta, tmin, tmax, u, m, active = carry
-            return jnp.any(active) & (jnp.min(subiter) < max_subiter)
+            it, key, s, subiter, theta, tmin, tmax, u, m, active = carry
+            return jnp.any(active) & (it < max_subiter)
 
         def body(carry):
-            key, s, subiter, theta, tmin, tmax, u, m, active = carry
+            it, key, s, subiter, theta, tmin, tmax, u, m, active = carry
             key, sub = jax.random.split(key)
             prop_theta = jax.random.uniform(sub, (B,), minval=tmin, maxval=tmax)
             theta_new = jnp.where(active, prop_theta, theta)
@@ -100,10 +100,11 @@ def build_kernel(max_subiter: int = 100) -> Callable:
             tmax = jnp.where(active & (theta > 0), theta, tmax)
             subiter = subiter + active.astype(jnp.int32)
             still = active & ((s <= log_y) | ~jnp.isfinite(s))
-            return (key, s, subiter, theta, tmin, tmax, u, m, still)
+            return (it + 1, key, s, subiter, theta, tmin, tmax, u, m, still)
 
         active0 = (s <= log_y) | ~jnp.isfinite(s)
         carry = (
+            0,
             key_loop,
             s,
             jnp.ones(B, jnp.int32),
@@ -114,7 +115,7 @@ def build_kernel(max_subiter: int = 100) -> Callable:
             m,
             active0,
         )
-        _, s, subiter, theta, _, _, u, m, _ = lax.while_loop(cond, body, carry)
+        _, _, s, subiter, theta, _, _, u, m, _ = lax.while_loop(cond, body, carry)
 
         position = flow(u)[0]
         return TESSState(position, u), TESSInfo(m, s, theta, subiter)
