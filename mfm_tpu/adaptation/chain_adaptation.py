@@ -68,13 +68,21 @@ def cross_chain(
 
 def _rotate(params, mesh=None, axis: str = "ensemble"):
     """Rotate per-batch parameters one slot forward: batch b receives the
-    parameters batch b+1 just trained (reference chain_adaptation.py:72)."""
+    parameters batch b+1 just trained (reference chain_adaptation.py:72).
+
+    Sharded path: each device holds an (n_local, ...) block of batches; a
+    one-BATCH global rotation is a local shift plus a one-element ppermute
+    ring — each device sends its first batch to its left neighbor.
+    """
     if mesh is not None:
         n = mesh.shape[axis]
         perm = [(i, (i - 1) % n) for i in range(n)]  # src -> dst
-        return jax.tree_util.tree_map(
-            lambda p: jax.lax.ppermute(p, axis, perm), params
-        )
+
+        def rot(p):
+            recv = jax.lax.ppermute(p[:1], axis, perm)
+            return jnp.concatenate([p[1:], recv], axis=0)
+
+        return jax.tree_util.tree_map(rot, params)
     return jax.tree_util.tree_map(
         lambda p: jnp.concatenate([p[1:], p[:1]], axis=0), params
     )

@@ -246,3 +246,41 @@ class TestSNPE:
         val, grad = jax.value_and_grad(loss)(jnp.zeros(2))
         assert jnp.isfinite(val)
         assert jnp.all(jnp.isfinite(grad))
+
+
+class TestECAMultiBatchPerDevice:
+    def test_sharded_two_batches_per_device(self, key, devices):
+        """num_batch=16 on 8 devices (2 local batches): rotation must still
+        shift by ONE batch globally, matching the vmap path."""
+        from mfm_tpu.parallel import make_mesh
+
+        target = IndepGaussian(2)
+        vs = lambda x: target.value_and_score(x)
+
+        def kernel_factory(step_size):
+            k = mala.build_kernel(vs)
+            return lambda key, s: k(key, s, step_size)
+
+        def parameter_gn(states, step, step_size):
+            return (0.05 + 0.01 * jnp.mean(states.position**2),)
+
+        num_batch, batch_size = 16, 4
+        pos = jax.random.normal(key, (num_batch, batch_size, 2))
+        states = jax.vmap(lambda p: mala.init(p, vs))(pos)
+        params0 = (0.2 * jnp.ones(num_batch),)
+
+        init_l, update_l = parallel_eca(
+            kernel_factory, parameter_gn, num_batch, batch_size
+        )
+        s_l, p_l, _ = update_l(key, init_l(states), *params0)
+
+        mesh = make_mesh((8,), ("ensemble",), devices[:8])
+        init_s, update_s = parallel_eca(
+            kernel_factory, parameter_gn, num_batch, batch_size, mesh=mesh
+        )
+        s_s, p_s, _ = update_s(key, init_s(states), *params0)
+
+        np.testing.assert_allclose(
+            np.asarray(s_l.states.position), np.asarray(s_s.states.position),
+            rtol=1e-4, atol=1e-5,
+        )
