@@ -290,6 +290,18 @@ def run_mfm(
     all_keys = jax.random.split(key_loop, n_iter)
     counts = jnp.arange(1, n_iter + 1)
 
+    # target-loss probe: FM loss on exact target draws, logged per chunk
+    # (the reference's eval_step computes it per iteration,
+    # exe_flow_matching.py:370-374,444-446)
+    eval_loss = None
+    if logger is not None and target.can_sample:
+        key_probe, key_probe_loss = jax.random.split(jax.random.fold_in(key, 7))
+        n_probe = min(cfg.eval_iter * cfg.num_chain, 4096)
+        probe_samples = target.sample(key_probe, (n_probe,))
+        eval_loss = jax.jit(
+            lambda params: loss_fn(params, key_probe_loss, probe_samples)
+        )
+
     # resume from the latest checkpoint when one exists
     done = 0
     if cfg.checkpoint_dir is not None:
@@ -327,6 +339,8 @@ def run_mfm(
             chunk_mean = {k: float(jnp.mean(v)) for k, v in m.items()}
             chunk_mean["iter"] = done
             chunk_mean["train_time"] = time.time() - train_start
+            if eval_loss is not None:
+                chunk_mean["target_loss"] = float(eval_loss(carry.train.params))
             logger.log(chunk_mean)
         if (
             cfg.checkpoint_dir is not None
