@@ -34,7 +34,6 @@ from mfm_tpu.flows import (
     make_lr_schedule,
     make_optimizer,
     make_transport,
-    make_vector_field,
     select_flow_kernel,
 )
 from mfm_tpu.flows.train import TrainState
@@ -98,27 +97,48 @@ def _interleave_is_flow(count, mcmc_per_flow_steps: float):
     return count % period == 0
 
 
-def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array):
-    """Construct the jitted pieces of an MFM run.
+class MFMPieces(NamedTuple):
+    """Everything build_mfm constructs; positional layout is stable
+    (callers unpack ``step_fn, init_fn, *_``)."""
 
-    Returns (step_fn, init_fn, finalize) where ``step_fn`` is scan-ready.
-    """
-    key_net, key_init = jax.random.split(key)
+    step_fn: Callable
+    init_fn: Callable
+    apply_fn: Callable
+    transport: object
+    ref_dist: Target
+    loss_fn: Callable
+    fourier: jax.Array
+
+
+def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
+    """Construct the jitted pieces of an MFM run. Traceable — may be called
+    inside a vmapped trace (the multi-seed driver does) since the network's
+    Fourier frequencies are ordinary traced values."""
+    import flax.linen  # noqa: F401  (ensures linen side effects are loaded)
+
+    from mfm_tpu.flows.vector_field import NON_LINEARITIES, VectorFieldNet
+
+    key_net, _ = jax.random.split(key)
+    key_freq, key_init = jax.random.split(key_net)
     use_real_samples = cfg.mcmc_per_flow_steps < 0
 
-    apply_fn, params = make_vector_field(
-        key_net,
-        cfg.dim,
+    fourier = cfg.fourier_std * jax.random.normal(key_freq, (cfg.fourier_dim,))
+    net = VectorFieldNet(
+        fourier_freqs=fourier,
+        hidden_x=tuple(cfg.hidden_x),
+        hidden_t=tuple(cfg.hidden_t),
+        hidden_xt=tuple(cfg.hidden_xt),
+        act=NON_LINEARITIES[cfg.non_linearity],
         score_fn=target.score,
-        hidden_x=cfg.hidden_x,
-        hidden_t=cfg.hidden_t,
-        hidden_xt=cfg.hidden_xt,
-        fourier_dim=cfg.fourier_dim,
-        fourier_std=cfg.fourier_std,
-        non_linearity=cfg.non_linearity,
         score_clip=cfg.score_clip,
-        precision=cfg.field_precision,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if cfg.field_precision == "highest"
+            else None
+        ),
     )
+    apply_fn = net.apply
+    params = net.init(key_init, jnp.zeros((1, cfg.dim)), jnp.zeros((1,)))
     transport = make_transport(
         apply_fn, divergence=cfg.divergence, n_steps=cfg.ode_steps, method=cfg.ode_method
     )
@@ -244,7 +264,7 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array):
         }
         return MFMCarry(chain, train, beta), metrics
 
-    return step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn
+    return MFMPieces(step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn, fourier)
 
 
 def run_mfm(
@@ -262,9 +282,8 @@ def run_mfm(
         key = jax.random.PRNGKey(cfg.seed)
     key_build, key_pos, key_loop = jax.random.split(key, 3)
 
-    step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn = build_mfm(
-        target, cfg, key_build
-    )
+    pieces = build_mfm(target, cfg, key_build)
+    step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn = pieces[:6]
     init_positions = target.init_positions(key_pos, cfg.num_chain)
 
     carry = jax.jit(init_fn)(init_positions)
