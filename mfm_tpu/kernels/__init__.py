@@ -1,4 +1,5 @@
 from mfm_tpu.kernels.base import (
+    inference_loop,
     AdaptationAlgorithm,
     ChainInfo,
     ChainState,
@@ -11,6 +12,7 @@ __all__ = [
     "ChainInfo",
     "ChainState",
     "SamplingAlgorithm",
+    "inference_loop",
     "cis",
     "hmc",
     "mala",

@@ -48,3 +48,20 @@ class AdaptationAlgorithm(NamedTuple):
     """A warmup/adaptation procedure exposing a single ``run``."""
 
     run: Callable
+
+
+def inference_loop(rng_key, step_fn: Callable, initial_state, n_steps: int):
+    """Scan-driven runner for any ensemble sampler (counterpart of the
+    reference inference_loop, mcmc_utils.py:11-25): returns the per-step
+    states and infos stacked on a leading time axis."""
+    import jax
+    from jax import lax
+
+    keys = jax.random.split(rng_key, n_steps)
+
+    def body(state, key):
+        state, info = step_fn(key, state)
+        return state, (state, info)
+
+    _, (states, infos) = lax.scan(body, initial_state, keys)
+    return states, infos
