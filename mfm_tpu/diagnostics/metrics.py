@@ -43,6 +43,7 @@ def stein_disc(
     score_fn: Callable,
     beta: float = -0.5,
     tile: int = 128,
+    weights=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Kernelized Stein discrepancy with the IMQ kernel (1 + ||x-y||^2)^beta.
 
@@ -54,26 +55,35 @@ def stein_disc(
         -4 b (b+1) r / (1+r)^(b+2)
         + 2 b (d + (sx - sy).(x-y)) / (1+r)^(b+1)
         + sx.sy / (1+r)^b,          r = ||x - y||^2
+
+    ``weights`` (optional, (T,), normalized internally): importance-weighted
+    statistics sum w_i w_j k0(x_i, x_j) — evaluates IS-corrected sample sets
+    without the duplication inflation of resampling (new capability; the
+    reference only supports uniform weights).
     """
     T, d = X.shape
     b = -beta
     S = score_fn(X)  # (T, d)
     sq = jnp.sum(X * X, axis=-1)  # (T,)
     sx_dot_x = jnp.sum(S * X, axis=-1)  # (T,)
+    if weights is None:
+        w = jnp.full((T,), 1.0 / T)
+    else:
+        w = weights / jnp.sum(weights)
 
     Xp, _, pad = _pad_rows(X, tile)
     Sp, _, _ = _pad_rows(S, tile)
     sqp, _, _ = _pad_rows(sq, tile)
     sxxp, _, _ = _pad_rows(sx_dot_x, tile)
+    wp, _, _ = _pad_rows(w, tile)
     n_tiles = Xp.shape[0] // tile
-    valid = jnp.arange(Xp.shape[0]) < T  # mask padded rows
 
     def row_tile(i):
         xi = lax.dynamic_slice_in_dim(Xp, i * tile, tile)  # (t, d)
         si = lax.dynamic_slice_in_dim(Sp, i * tile, tile)
         sqi = lax.dynamic_slice_in_dim(sqp, i * tile, tile)
         sxxi = lax.dynamic_slice_in_dim(sxxp, i * tile, tile)
-        vi = lax.dynamic_slice_in_dim(valid, i * tile, tile)
+        wi = lax.dynamic_slice_in_dim(wp, i * tile, tile)
 
         xy = jnp.dot(xi, X.T, precision=_HIGH)  # (t, T)
         sxy = jnp.dot(si, X.T, precision=_HIGH)  # sx . y
@@ -89,14 +99,15 @@ def stein_disc(
             + 2.0 * b * (d + cross) / base ** (b + 1.0)
             + ss / base**b
         )
-        term = jnp.where(vi[:, None], term, 0.0)
-        return jnp.sum(term)
+        # padded rows have w = 0, so weighting also masks them
+        return jnp.sum(wi[:, None] * w[None, :] * term)
 
     total = jnp.sum(lax.map(row_tile, jnp.arange(n_tiles)))
     # diagonal: r = 0, cross = 0 -> 2 b d + ||sx||^2
-    diag = jnp.sum(2.0 * b * d + jnp.sum(S * S, axis=-1))
-    u_stat = (total - diag) / (T * (T - 1))
-    v_stat = total / (T * T)
+    diag_terms = 2.0 * b * d + jnp.sum(S * S, axis=-1)
+    w2 = jnp.sum(w * w)
+    u_stat = (total - jnp.sum(w * w * diag_terms)) / (1.0 - w2)
+    v_stat = total
     return u_stat, v_stat
 
 

@@ -134,3 +134,29 @@ class TestRhat:
         x[:, :2] += 10.0  # two chains stuck elsewhere
         rhat = potential_scale_reduction(x)
         assert rhat[0] > 2.0
+
+
+class TestWeightedStein:
+    def test_uniform_weights_match_unweighted(self, key):
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        X = jax.random.normal(key, (50, 2)) * 3
+        u0, v0 = stein_disc(X, target.score, tile=16)
+        u1, v1 = stein_disc(X, target.score, tile=16, weights=jnp.ones(50))
+        np.testing.assert_allclose(float(u1), float(u0), rtol=1e-4)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-4)
+
+    def test_weights_equal_duplication(self, key):
+        """V-stat with counts-as-weights == V-stat of the duplicated set."""
+        from mfm_tpu.targets import IndepGaussian
+
+        target = IndepGaussian(2)
+        X = jax.random.normal(key, (20, 2))
+        counts = np.asarray(jax.random.randint(key, (20,), 1, 4))
+        X_dup = jnp.repeat(X, jnp.asarray(counts), axis=0)
+        _, v_dup = stein_disc(X_dup, target.score, tile=16)
+        _, v_w = stein_disc(
+            X, target.score, tile=16, weights=jnp.asarray(counts, jnp.float32)
+        )
+        np.testing.assert_allclose(float(v_w), float(v_dup), rtol=1e-4)
