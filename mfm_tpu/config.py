@@ -111,6 +111,7 @@ def preset(example: str, **overrides) -> MFMConfig:
         cfg.step_size = 1e-4
         cfg.lim = (-1.6, 1.6)
         cfg.learning_iter = 10_000
+        cfg.chunk_size = 1000
     elif example == "pines":
         cfg.dim = 1600
         cfg.num_chain = 128
@@ -119,6 +120,7 @@ def preset(example: str, **overrides) -> MFMConfig:
         cfg.hidden_x = cfg.hidden_t = cfg.hidden_xt = (1024, 1024)
         cfg.lim = None
         cfg.learning_iter = 10_000
+        cfg.chunk_size = 1000
         cfg.hutchinson = True  # exact trace is O(d) MLP passes at d=1600
     else:
         raise ValueError(f"unknown example {example!r}")
