@@ -24,10 +24,12 @@ import time
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--platform", default="cpu", choices=["cpu", "axon"])
-    p.add_argument("--example", default="4-mode", choices=["4-mode", "phi-four"])
+    p.add_argument("--example", default="4-mode",
+                   choices=["4-mode", "phi-four", "pines"])
     p.add_argument("--learning-iter", type=int, default=1000)
     p.add_argument("--mcmc-per-flow-steps", type=float, default=10.0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--hutchs", action="store_true")
     p.add_argument("--x64", action="store_true", default=None)
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -47,6 +49,7 @@ def main():
     from distributions import GaussianMixture, PhiFour  # reference, read-only
     import exe_flow_matching  # reference orchestrator
 
+    hidden = [128, 128]
     if args.example == "4-mode":
         # the 4-mode setup (reference multi_modal.py:65-85)
         modes = 8.0 * jnp.array([[1, 1], [1, -1], [-1, 1], [-1, -1]])
@@ -54,21 +57,29 @@ def main():
         weights = jnp.ones(4) / 4
         dist = GaussianMixture(modes, covs, weights)
         dim, num_chain, step_size, eval_iter = 2, 128, 0.2, 100
-    else:
+    elif args.example == "phi-four":
         # phi-four setup (reference multi_modal.py:50-63)
         dist = PhiFour(64)
         dist.sample_model = None
         dim, num_chain, step_size, eval_iter = 64, 1024, 1e-4, 1
+    else:
+        # pines setup (reference multi_modal.py:87-98)
+        from distributions import LogGaussianCoxPines
+
+        dist = LogGaussianCoxPines(1600, file_path="/root/reference/finpines.csv")
+        dist.sample_model = None
+        dim, num_chain, step_size, eval_iter = 1600, 128, 0.01, 1
+        hidden = [1024, 1024]
 
     # argparse defaults (reference multi_modal.py:148-219) + 4-mode overrides
     ns = argparse.Namespace(
         seed=args.seed, dim=dim, num_modes=4, example=args.example, sigma=1e-4,
-        fourier_dim=128, fourier_std=1.0, hutchs=False, ref_dist="stdgauss",
+        fourier_dim=128, fourier_std=1.0, hutchs=args.hutchs, ref_dist="stdgauss",
         cond_flow=True, ot_cond_flow=False, num_importance_samples=0,
         mcmc_per_flow_steps=args.mcmc_per_flow_steps, num_chain=num_chain,
         learning_iter=args.learning_iter, eval_iter=eval_iter, alpha=0.95,
         anneal_iter=200, num_anneal_temp=200, non_linearity="relu",
-        hidden_x=[128, 128], hidden_t=[128, 128], hidden_xt=[128, 128],
+        hidden_x=hidden, hidden_t=hidden, hidden_xt=hidden,
         step_size=step_size, learning_rate=1e-3, weight_decay=1e-4,
         adam_beta1=0.9, adam_beta2=0.999, adam_epsilon=1e-8,
         gradient_clip=1.0, warmup_steps=0, rtol=1e-5, atol=1e-5, mxstep=1000,
