@@ -10,7 +10,7 @@ push-forward is one batched transport, the inner MALA loop is a scanned
 ensemble kernel.
 """
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 

@@ -93,7 +93,6 @@ def run_one(target, cfg, args):
 
 def run_seeds_vmapped(target, cfg, seeds, args):
     """All seeds trained as one vmapped program; per-seed evaluation."""
-    import jax.numpy as jnp
 
     from mfm_tpu.drivers import run_mfm_seeds
     from mfm_tpu.drivers.mfm import sample_flow_parts

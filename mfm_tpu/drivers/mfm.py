@@ -114,7 +114,6 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
     """Construct the jitted pieces of an MFM run. Traceable — may be called
     inside a vmapped trace (the multi-seed driver does) since the network's
     Fourier frequencies are ordinary traced values."""
-    import flax.linen  # noqa: F401  (ensures linen side effects are loaded)
 
     from mfm_tpu.flows.vector_field import NON_LINEARITIES, VectorFieldNet
 
