@@ -21,8 +21,14 @@ def evaluate_samples(
     flow_samples: jax.Array,
     exact_samples: jax.Array,
     real_samples: Optional[jax.Array] = None,
+    log_weights: Optional[jax.Array] = None,
 ) -> dict:
-    """Compute the reference metric row for one run."""
+    """Compute the reference metric row for one run.
+
+    ``log_weights`` (optional, per flow sample): adds importance-WEIGHTED
+    Stein statistics of the flow samples — the duplication-free view of the
+    IS-corrected distribution (new capability; see diagnostics.stein_disc).
+    """
     out = {}
     out["logpdf"] = float(jnp.mean(target.log_prob(flow_samples)))
     u, v = stein_disc(flow_samples, target.score)
@@ -31,6 +37,11 @@ def evaluate_samples(
     out["logpdf_star"] = float(jnp.mean(target.log_prob(exact_samples)))
     u_, v_ = stein_disc(exact_samples, target.score)
     out["stein_u_star"], out["stein_v_star"] = float(u_), float(v_)
+
+    if log_weights is not None:
+        w = jnp.exp(log_weights - jnp.max(log_weights))
+        uw, vw = stein_disc(flow_samples, target.score, weights=w)
+        out["stein_u_weighted"], out["stein_v_weighted"] = float(uw), float(vw)
 
     if real_samples is not None:
         out["mmd"] = float(max_mean_disc(real_samples, flow_samples))

@@ -120,3 +120,16 @@ class TestWindowAdaptationNUTS:
         assert float(step_size) > 0.0
         assert np.isfinite(np.asarray(inv_mass)).all()
         assert 1.0 < float(np.asarray(inv_mass).mean()) < 8.0  # toward var=4
+
+
+class TestWeightedEval:
+    def test_log_weights_add_weighted_stein(self, key):
+        from mfm_tpu.drivers import evaluate_samples
+        from mfm_tpu.targets import IndepGaussian
+
+        target = IndepGaussian(2)
+        xs = target.sample(key, (128,))
+        lw = jnp.zeros(128)
+        m = evaluate_samples(target, xs, xs, log_weights=lw)
+        # uniform weights -> weighted == unweighted
+        np.testing.assert_allclose(m["stein_u_weighted"], m["stein_u"], rtol=1e-4)
