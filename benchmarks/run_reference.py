@@ -25,11 +25,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--platform", default="cpu", choices=["cpu", "axon"])
     p.add_argument("--example", default="4-mode",
-                   choices=["4-mode", "phi-four", "pines"])
+                   choices=["4-mode", "gaussian-mixture", "phi-four", "pines"])
     p.add_argument("--learning-iter", type=int, default=1000)
     p.add_argument("--mcmc-per-flow-steps", type=float, default=10.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--hutchs", action="store_true")
+    p.add_argument("--do-smc", action="store_true")
     p.add_argument("--x64", action="store_true", default=None)
     p.add_argument("--out", default=None)
     args = p.parse_args()
@@ -50,7 +51,15 @@ def main():
     import exe_flow_matching  # reference orchestrator
 
     hidden = [128, 128]
-    if args.example == "4-mode":
+    if args.example == "gaussian-mixture":
+        # 16 random modes seeded with PRNGKey(0) (reference multi_modal.py:39-47)
+        key_mode, key_cov, key_weight = jax.random.split(jax.random.PRNGKey(0), 3)
+        modes = jax.random.uniform(key_mode, (16, 2), minval=-12.8, maxval=12.8)
+        covs = jnp.exp(0.5 * jax.random.normal(key_cov, (16, 2)))
+        weights = jax.random.dirichlet(key_weight, 4.0 * jnp.ones(16))
+        dist = GaussianMixture(modes, covs, weights)
+        dim, num_chain, step_size, eval_iter = 2, 128, 0.2, 100
+    elif args.example == "4-mode":
         # the 4-mode setup (reference multi_modal.py:65-85)
         modes = 8.0 * jnp.array([[1, 1], [1, -1], [-1, 1], [-1, -1]])
         covs = jnp.ones((4, 2))
@@ -85,12 +94,17 @@ def main():
         gradient_clip=1.0, warmup_steps=0, rtol=1e-5, atol=1e-5, mxstep=1000,
         lim=[-1.6, 1.6] if args.example == "phi-four" else [-16, 16],
         grid_width=400, levels=20, check=False,
-        do_flowmc=False, do_pocomc=False, do_dds=False, do_smc=False,
+        do_flowmc=False, do_pocomc=False, do_dds=False, do_smc=args.do_smc,
         do_fab=False,
     )
 
     start = time.time()
-    res_flow, res_exact = exe_flow_matching.run(dist, ns, dist.sample_model)
+    if args.do_smc:
+        import exe_others
+
+        res_flow, res_exact = exe_others.run(dist, ns, dist.sample_model)
+    else:
+        res_flow, res_exact = exe_flow_matching.run(dist, ns, dist.sample_model)
     wall = time.time() - start
 
     out = {
