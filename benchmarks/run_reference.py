@@ -41,6 +41,11 @@ def main():
 
     import jax
 
+    # compat shim: the reference targets jax 0.4.x whose jax.tree_map alias
+    # was removed in jax 0.9 (used by its smc/base.py)
+    if not hasattr(jax, "tree_map"):
+        jax.tree_map = jax.tree_util.tree_map
+
     use_x64 = args.x64 if args.x64 is not None else (args.platform == "cpu")
     if use_x64:
         jax.config.update("jax_enable_x64", True)  # reference multi_modal.py:14
