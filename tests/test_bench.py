@@ -1,0 +1,38 @@
+"""Guard against bench.py rot: the driver runs it every round on real
+hardware, so its functions must stay importable and runnable (tiny sizes,
+CPU)."""
+
+import json
+import sys
+
+
+class TestBench:
+    def test_bench_functions_tiny(self, tmp_path, monkeypatch):
+        sys.path.insert(0, ".")
+        import bench
+
+        out = bench.bench_mfm_4mode(n_iter=4)
+        assert out["steps_per_sec_scan"] > 0
+        assert out["steps_per_sec_host_loop"] > 0
+
+        pf = bench.bench_phi_four_mala(n_chain=32, n_steps=10)
+        assert pf["chain_steps_per_sec"] > 0
+
+    def test_headline_line_is_json(self, tmp_path, monkeypatch, capsys):
+        sys.path.insert(0, ".")
+        import bench
+
+        # run main with the tiny benches monkeypatched in
+        monkeypatch.setattr(bench, "bench_mfm_4mode", lambda: {
+            "steps_per_sec_scan": 100.0, "steps_per_sec_host_loop": 10.0,
+            "speedup": 10.0,
+        })
+        monkeypatch.setattr(bench, "bench_phi_four_mala", lambda: {"chain_steps_per_sec": 1.0})
+        monkeypatch.setattr(bench, "bench_pines_step", lambda: {"chain_steps_per_sec": 1.0})
+        monkeypatch.setattr(bench, "bench_mfm_example", lambda *a, **k: {"iters_per_sec": 1.0})
+        monkeypatch.chdir(tmp_path)
+        bench.main()
+        first_line = capsys.readouterr().out.strip().splitlines()[0]
+        rec = json.loads(first_line)
+        assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+        assert (tmp_path / "BENCH_DETAILS.json").exists()
