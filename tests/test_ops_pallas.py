@@ -25,3 +25,27 @@ class TestPallasPairwise:
         ref = max_mean_disc(X, Y, tile=16)
         got = max_mean_disc_pallas(X, Y, tile=32)
         np.testing.assert_allclose(float(got), float(ref), rtol=2e-4, atol=1e-6)
+
+
+class TestPhiFourPallas:
+    def test_matches_target_dirichlet(self, key):
+        from mfm_tpu.ops import phi_four_log_lik
+        from mfm_tpu.targets import PhiFour
+
+        pf = PhiFour(64)
+        x = jax.random.normal(key, (37, 64))  # non-multiple of tile
+        got = phi_four_log_lik(x, tile=256)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(pf.log_lik(x)), rtol=2e-4
+        )
+
+    def test_matches_target_pbc(self, key):
+        from mfm_tpu.ops import phi_four_log_lik
+        from mfm_tpu.targets import PhiFour
+
+        pf = PhiFour(32, bc=("pbc", 0.0))
+        x = jax.random.normal(key, (16, 32))
+        got = phi_four_log_lik(x, pbc=True, tile=256)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(pf.log_lik(x)), rtol=2e-4
+        )
