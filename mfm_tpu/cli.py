@@ -101,7 +101,12 @@ def run_seeds_vmapped(target, cfg, seeds, args):
 
     sweep = run_mfm_seeds(target, cfg, seeds)
     per_seed_time = sweep.train_time / len(seeds)
-    ref_dist = make_ref_dist(cfg.ref_dist, cfg.dim)
+    if cfg.ref_dist == "prior":
+        from mfm_tpu.targets.base import PriorReference
+
+        ref_dist = PriorReference(target)
+    else:
+        ref_dist = make_ref_dist(cfg.ref_dist, cfg.dim)
     n_eval = cfg.eval_iter * cfg.num_chain
     real_samples = None
     if target.can_sample:

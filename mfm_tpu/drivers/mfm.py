@@ -141,7 +141,12 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
     transport = make_transport(
         apply_fn, divergence=cfg.divergence, n_steps=cfg.ode_steps, method=cfg.ode_method
     )
-    ref_dist = make_ref_dist(cfg.ref_dist, cfg.dim)
+    if cfg.ref_dist == "prior":
+        from mfm_tpu.targets.base import PriorReference
+
+        ref_dist = PriorReference(target)
+    else:
+        ref_dist = make_ref_dist(cfg.ref_dist, cfg.dim)
     lr_fn = make_lr_schedule(cfg.learning_iter, cfg.warmup_steps, cfg.learning_rate)
     tx = make_optimizer(
         lr_fn,

@@ -200,7 +200,10 @@ class LogGaussianCoxPines(Target):
 
     def init_positions(self, key, n_chain):
         """Prior draws f = mu + L eps (reference distributions.py:312-314)."""
-        eps = jax.random.normal(key, (n_chain, self.dim))
+        return self.prior_sample(key, (n_chain,))
+
+    def prior_sample(self, key, shape=()):
+        eps = jax.random.normal(key, shape + (self.dim,))
         if self.whitened:
             return eps
         return self._unwhiten(eps)

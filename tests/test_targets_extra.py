@@ -145,3 +145,32 @@ class TestYamlConfig:
         bad.write_text("nonsense_field: 3\n")
         with pytest.raises(ValueError):
             from_yaml(str(bad))
+
+
+class TestPriorReference:
+    def test_lgcp_prior_reference(self, key):
+        from mfm_tpu.targets import LogGaussianCoxPines
+        from mfm_tpu.targets.base import PriorReference
+
+        lg = LogGaussianCoxPines(dim=64)
+        ref = PriorReference(lg)
+        xs = ref.sample(key, (2000,))
+        # sampler matches the declared density: prior logprob of samples is
+        # finite and the empirical mean is near mu_zero
+        assert np.isfinite(np.asarray(ref.log_prob(xs))).all()
+        np.testing.assert_allclose(
+            float(np.asarray(xs).mean()), float(lg._mu_zero), atol=0.3
+        )
+        # density equals the target's log_prior exactly
+        np.testing.assert_allclose(
+            np.asarray(ref.log_prob(xs[:4])), np.asarray(lg.log_prior(xs[:4])),
+            rtol=1e-5,
+        )
+
+    def test_unavailable_prior_raises(self, key):
+        from mfm_tpu.targets import PhiFour
+        from mfm_tpu.targets.base import PriorReference
+
+        ref = PriorReference(PhiFour(8))
+        with pytest.raises(NotImplementedError):
+            ref.sample(key, (2,))
