@@ -158,7 +158,8 @@ def main(argv=None):
     p.add_argument("--hutchs", action="store_true")
     p.add_argument("--step-size", type=float, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
-    p.add_argument("--ref-dist", default="stdgauss")
+    p.add_argument("--ref-dist", default=None,
+               help="flow reference (default: preset choice)")
     p.add_argument("--no-cond-flow", action="store_true")
     p.add_argument("--ot-cond-flow", action="store_true")
     p.add_argument("--ode-steps", type=int, default=None)
@@ -188,8 +189,9 @@ def main(argv=None):
                 )
 
     overrides = {"mcmc_per_flow_steps": args.mcmc_per_flow_steps,
-                 "num_importance_samples": args.num_importance_samples,
-                 "ref_dist": args.ref_dist}
+                 "num_importance_samples": args.num_importance_samples}
+    if args.ref_dist is not None:
+        overrides["ref_dist"] = args.ref_dist
     if args.hutchs:
         overrides["hutchinson"] = True
     if args.no_cond_flow:

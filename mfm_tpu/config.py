@@ -122,6 +122,10 @@ def preset(example: str, **overrides) -> MFMConfig:
         cfg.learning_iter = 10_000
         cfg.chunk_size = 1000
         cfg.hutchinson = True  # exact trace is O(d) MLP passes at d=1600
+        # informed reference: prior -> posterior transport beats stdgauss on
+        # every pines metric (RESULTS.md); pass ref_dist='stdgauss' for
+        # strict reference parity
+        cfg.ref_dist = "prior"
     else:
         raise ValueError(f"unknown example {example!r}")
     for k, v in overrides.items():
