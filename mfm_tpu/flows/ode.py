@@ -18,6 +18,7 @@ from functools import partial
 from typing import Callable, Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -105,7 +106,7 @@ def odeint_grid_save(
 # ---------------------------------------------------------------------------
 
 # Butcher tableau (Dormand & Prince 1980)
-_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
 _DP_A = [
     [],
     [1 / 5],

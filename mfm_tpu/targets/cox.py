@@ -29,7 +29,6 @@ from jax import lax
 
 from mfm_tpu.targets.base import Target
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
 _DATA_PATH = os.path.join(os.path.dirname(__file__), "data", "finpines.csv")
 
 

@@ -7,12 +7,14 @@ reaches them only through external fabjax experiment configs
 exe_others.py:50-56). Here they are first-class batch-first targets.
 """
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from mfm_tpu.targets.base import Target
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 class Funnel(Target):

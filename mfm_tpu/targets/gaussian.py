@@ -11,12 +11,14 @@ TPU viable).
 
 from typing import Optional
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 from mfm_tpu.targets.base import Target
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 class IndepGaussian(Target):

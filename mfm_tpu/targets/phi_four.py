@@ -14,13 +14,15 @@ Capability parity with the reference ``PhiFour`` / ``PhiFourBase``
 
 from typing import Optional, Tuple
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from mfm_tpu.targets.base import Target
 
-_LOG2PI = jnp.log(2.0 * jnp.pi)
+_LOG2PI = math.log(2.0 * math.pi)
 
 
 class PhiFour(Target):

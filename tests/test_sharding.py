@@ -87,3 +87,27 @@ class TestShardedMFMStep:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+    def test_graft_dryrun_subprocess_hostile_platform(self):
+        """Regression for MULTICHIP_r01: the driver runs dryrun_multichip in
+        a FRESH process whose environment presets a (possibly broken) TPU
+        platform. The entry must force the virtual CPU mesh itself; any
+        module-level jnp.* constant in mfm_tpu would initialize the hostile
+        backend at import time and fail before it can."""
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        # hostile preset: a platform that raises on first backend use
+        env["JAX_PLATFORMS"] = "cuda"
+        env.pop("XLA_FLAGS", None)
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import __graft_entry__; __graft_entry__.dryrun_multichip(8); "
+             "print('DRYRUN_OK')"],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert "DRYRUN_OK" in proc.stdout
