@@ -1,23 +1,27 @@
 """Benchmark driver. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline: end-to-end MFM training throughput (steps/sec) on the 4-mode
-benchmark (reference README.md:6-20 configuration: n_chain=128, MALA step
-0.2, mcmc_per_flow_steps=10, exact divergence).
+Headline: end-to-end MFM training throughput (iters/sec, median of 3
+steady-state repeats) on the HARDEST reference benchmark — pines (LGCP,
+d=1600, n_chain=128, mcmc_per_flow_steps=100, Hutchinson divergence;
+reference README.md:54-65, multi_modal.py:87-98). This config is
+compute-bound (1600x1600 precision GEMM per MALA gradient, 1024-wide CNF
+field), so the rate is stable run-to-run, unlike the dispatch-latency-bound
+4-mode config that headlined round 1.
 
-vs_baseline compares the TPU-native execution model (whole training loop as
-one on-device lax.scan, mfm_tpu.drivers.mfm) against the reference's
-execution model run on the SAME hardware with the SAME kernels: a host
-Python loop that launches one jitted step at a time and synchronizes
-per-iteration metrics every step (/root/reference/exe_flow_matching.py:432-449).
-The ratio isolates the architectural win (loop residency + fused chunks)
-from kernel quality.
+vs_baseline divides by the measured steady-state rate of the UNMODIFIED
+reference on this machine (benchmarks/reference_pines_cpu.json: 20.2 it/s —
+its best-case instantaneous rate during cheap MALA-only stretches; its own
+train_time metric amortizes to 17.1 it/s, so the ratio is conservative).
+The reference cannot run on TPU (x64 + jax 0.4 pinning), so same-host CPU
+is the baseline, as recorded in round 1.
 
-Secondary numbers (phi-four ensemble-MALA chain-steps/sec/chip, pines
-hot-path step time) go to BENCH_DETAILS.json.
+Secondary numbers (4-mode scan-vs-host-loop, phi-four ensemble MALA
+chain-steps/sec/chip, phi-four/4-mode MFM rates) go to BENCH_DETAILS.json.
 """
 
 import json
+import statistics
 import time
 
 import jax
@@ -121,6 +125,40 @@ def bench_pines_step(n_chain=128, n_steps=50):
     return {"chain_steps_per_sec": n_chain * n_steps / t}
 
 
+def bench_mfm_steady(example: str, n_iter: int, repeats: int = 3, **overrides):
+    """Median steady-state MFM training rate over `repeats` runs of the same
+    compiled scan program (compile excluded; medians damp run-to-run noise,
+    the round-1 weakness on the latency-bound 4-mode headline)."""
+    from mfm_tpu.cli import make_target
+    from mfm_tpu.config import preset
+    from mfm_tpu.drivers.mfm import build_mfm
+
+    cfg = preset(example, learning_iter=n_iter, **overrides)
+    target = make_target(example)
+    key = jax.random.PRNGKey(0)
+    step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+    carry0 = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
+    keys = jax.random.split(key, n_iter)
+    counts = jnp.arange(1, n_iter + 1)
+
+    @jax.jit
+    def run_scan(carry, keys, counts):
+        return jax.lax.scan(step_fn, carry, (keys, counts))
+
+    out = run_scan(carry0, keys, counts)  # compile + warm
+    jax.block_until_ready(out)
+    rates = []
+    for _ in range(repeats):
+        start = time.time()
+        out = run_scan(carry0, keys, counts)
+        jax.block_until_ready(out)
+        rates.append(n_iter / (time.time() - start))
+    return {
+        "iters_per_sec_median": statistics.median(rates),
+        "iters_per_sec_runs": rates,
+    }
+
+
 def bench_mfm_example(example: str, n_iter: int, **overrides):
     """Steady-state MFM training throughput on a real benchmark config
     (compile excluded by the driver's warm chunk)."""
@@ -137,23 +175,24 @@ def main():
     import sys
 
     details = {"device": str(jax.devices()[0])}
-    mfm = bench_mfm_4mode()
-    details["mfm_4mode"] = mfm
 
-    # vs_baseline: measured steady-state rate of the UNMODIFIED reference on
-    # this machine's CPU in x64 (benchmarks/run_reference.py artifact);
-    # fallback: the reference's execution model re-timed on this device.
-    vs = mfm["speedup"]
+    # --- headline: pines MFM steady training rate, median of 3 repeats
+    pines = bench_mfm_steady("pines", n_iter=200, mcmc_per_flow_steps=100.0)
+    details["mfm_pines_steady"] = pines
+
+    # vs_baseline: measured rate of the UNMODIFIED reference on this
+    # machine's CPU, x64 (benchmarks/run_reference.py artifact). 20.2 it/s is
+    # its best-case instantaneous rate; amortized train_time gives 17.1.
+    ref_rate = 20.2
     try:
-        with open("benchmarks/reference_4mode_cpu.json") as fh:
+        with open("benchmarks/reference_pines_cpu.json") as fh:
             ref = json.load(fh)
-        ref_rate = ref.get("steady_iters_per_sec_estimate")
-        if ref_rate:
-            vs = mfm["steps_per_sec_scan"] / ref_rate
-            details["reference_baseline"] = {
-                "steady_iters_per_sec": ref_rate,
-                "train_timer_seconds": ref.get("train_timer_seconds"),
-            }
+        ref_rate = ref.get("steady_iters_per_sec_estimate", ref_rate)
+        details["reference_baseline"] = {
+            "steady_iters_per_sec": ref_rate,
+            "wall_total": ref.get("wall_total"),
+            "learning_iter": ref.get("learning_iter"),
+        }
     except (OSError, ValueError):
         pass
 
@@ -162,22 +201,21 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "mfm_4mode_train_steps_per_sec",
-                "value": round(mfm["steps_per_sec_scan"], 2),
-                "unit": "steps/sec",
-                "vs_baseline": round(vs, 3),
+                "metric": "mfm_pines_train_iters_per_sec",
+                "value": round(pines["iters_per_sec_median"], 2),
+                "unit": "iters/sec",
+                "vs_baseline": round(pines["iters_per_sec_median"] / ref_rate, 3),
             }
         )
     )
     sys.stdout.flush()
 
     for name, fn in [
+        ("mfm_4mode", bench_mfm_4mode),
         ("phi_four_mala", bench_phi_four_mala),
         ("pines_mala", bench_pines_step),
-        ("mfm_phi_four_100to1", lambda: bench_mfm_example(
-            "phi-four", 303, mcmc_per_flow_steps=100.0)),
-        ("mfm_pines_100to1", lambda: bench_mfm_example(
-            "pines", 120, mcmc_per_flow_steps=100.0)),
+        ("mfm_phi_four_steady", lambda: bench_mfm_steady(
+            "phi-four", 300, mcmc_per_flow_steps=100.0)),
     ]:
         try:
             details[name] = fn()
