@@ -61,11 +61,21 @@ def run_one(target, cfg, args):
     if target.can_sample:
         real_samples = target.sample(jax.random.fold_in(key, 1000), (n_eval,))
 
+    baseline = next(
+        (n for n in ("fab", "flowmc", "dds") if getattr(args, f"do_{n}", False)),
+        None,
+    )
     if args.do_smc:
         result = run_smc(target, cfg)
         flow_samples = exact_samples = result.particles
         train_time = result.train_time
         log.log({"lmbda": float(result.lmbda), "log_z": float(result.log_z)})
+    elif baseline is not None:
+        from mfm_tpu.drivers.baselines import run_baseline
+
+        result = run_baseline(baseline, target, cfg, seed=cfg.seed, n_eval=n_eval)
+        flow_samples, exact_samples = result.flow_samples, result.exact_samples
+        train_time = result.train_time
     else:
         run = run_mfm(target, cfg, logger=log)
         train_time = run.train_time
@@ -122,6 +132,11 @@ def run_seeds_vmapped(target, cfg, seeds, args):
             act=NON_LINEARITIES[cfg.non_linearity],
             score_fn=target.score,
             score_clip=cfg.score_clip,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if cfg.field_precision == "highest"
+                else None
+            ),
         )
         transport = make_transport(
             net.apply, divergence=cfg.divergence, n_steps=cfg.ode_steps,

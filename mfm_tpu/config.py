@@ -46,6 +46,13 @@ class MFMConfig:
     mcmc_kernel: str = "mala"  # mala | hmc | nuts (reference hardcodes MALA)
     hmc_num_integration_steps: int = 10
     nuts_max_depth: int = 6
+    # in-loop MCMC adaptation (new capability — replaces the reference's
+    # hand-set per-target step_size table, multi_modal.py:55,92). None = auto:
+    # on for hmc/nuts, off for mala (strict reference parity for MALA runs).
+    adapt_step_size: Optional[bool] = None
+    adapt_mass: Optional[bool] = None  # diagonal inverse mass (hmc/nuts only)
+    da_target_acceptance: Optional[float] = None  # auto: 0.8 hmc/nuts, 0.574 mala
+    mass_refresh_every: int = 100  # window length for Welford mass refreshes
     learning_iter: int = 400
     eval_iter: int = 100
 
@@ -87,6 +94,21 @@ class MFMConfig:
     @property
     def divergence(self) -> str:
         return "hutchinson" if self.hutchinson else "exact"
+
+    def resolved_adaptation(self) -> Tuple[bool, bool, float]:
+        """(adapt_step_size, adapt_mass, target_acceptance) with None fields
+        resolved: gradient-trajectory kernels (hmc/nuts) adapt by default;
+        MALA keeps the reference's fixed step size unless asked. Target
+        acceptance defaults: 0.8 (hmc/nuts, Stan), 0.574 (MALA optimal)."""
+        grad_traj = self.mcmc_kernel in ("hmc", "nuts")
+        astep = grad_traj if self.adapt_step_size is None else self.adapt_step_size
+        amass = (
+            (grad_traj and astep) if self.adapt_mass is None else self.adapt_mass
+        )
+        tacc = self.da_target_acceptance
+        if tacc is None:
+            tacc = 0.8 if grad_traj else 0.574
+        return astep, amass and grad_traj, tacc
 
 
 def preset(example: str, **overrides) -> MFMConfig:

@@ -46,6 +46,13 @@ class MFMCarry(NamedTuple):
     chain: ChainState
     train: TrainState
     beta: jax.Array
+    # in-loop MCMC adaptation state (inert when adaptation is off): dual-
+    # averaging step size, Welford mass accumulator, diagonal inverse mass.
+    # Ensemble-pooled: one step size / mass for the whole chain block, fed by
+    # the mean acceptance and pooled positions of all B chains per step.
+    da: object = None
+    wf: object = None
+    inv_mass: Optional[jax.Array] = None
 
 
 class MFMRun(NamedTuple):
@@ -171,6 +178,16 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
             ot_coupling=cfg.ot_cond_flow,
         )
 
+    adapt_step, adapt_mass, target_acc = cfg.resolved_adaptation()
+    adapting = adapt_step or adapt_mass
+
+    def init_adaptation():
+        if not adapting:
+            return None, None, None
+        from mfm_tpu.adaptation.window import da_init, welford_init
+
+        return da_init(cfg.step_size), welford_init(cfg.dim), jnp.ones(cfg.dim)
+
     def init_fn(init_positions):
         """Initial carry: tempering level from the ESS rule at beta=0
         (reference :426), chains initialized at that tempered target."""
@@ -183,45 +200,80 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
         vs = lambda x: vs_fn(x, beta)
         chain = mala.init(init_positions, vs)
         train = create_train_state(params, tx)
-        return MFMCarry(chain, train, beta)
+        return MFMCarry(chain, train, beta, *init_adaptation())
 
-    def data_step(key, chain, train_params, beta, count):
+    def update_adaptation(count, acc, position, da, wf, inv_mass):
+        """Dual-averaging step size on the ensemble-mean acceptance; Welford
+        diagonal mass over pooled (iters x chains) positions, refreshed (and
+        the step size re-anchored, Stan-window style) every
+        cfg.mass_refresh_every MCMC steps."""
+        from mfm_tpu.adaptation.window import (
+            da_init,
+            da_update,
+            welford_init,
+            welford_update_batch,
+            welford_variance,
+        )
+
+        if adapt_step:
+            mean_acc = jnp.nan_to_num(jnp.mean(acc), nan=0.0)
+            da = da_update(da, mean_acc, target_acc)
+        if adapt_mass:
+            wf = welford_update_batch(wf, position)
+            refresh = (count % cfg.mass_refresh_every == 0) & (wf.count > 1.0)
+            inv_mass = jnp.where(refresh, welford_variance(wf), inv_mass)
+            wf = jax.tree_util.tree_map(
+                lambda cur, fresh: jnp.where(refresh, fresh, cur),
+                wf,
+                welford_init(cfg.dim),
+            )
+            da_fresh = da_init(jnp.exp(da.log_step_avg))
+            da = jax.tree_util.tree_map(
+                lambda cur, fresh: jnp.where(refresh, fresh, cur), da, da_fresh
+            )
+        return da, wf, inv_mass
+
+    def data_step(key, chain, train_params, beta, count, da, wf, inv_mass):
         """One interleaved data-generation move for the whole ensemble."""
         if use_real_samples:
             pos = target.sample(key, (cfg.num_chain,))
             new_chain = ChainState(
                 pos, jnp.zeros(cfg.num_chain), jnp.zeros_like(pos)
             )
-            return new_chain, jnp.full(cfg.num_chain, jnp.nan)
+            return new_chain, jnp.full(cfg.num_chain, jnp.nan), da, wf, inv_mass
 
         vs = lambda x: vs_fn(x, beta)
         tgt = FlowTarget(vs, ref_dist.log_prob, ref_dist.sample)
 
         def do_flow(k):
             new, info = flow_kernel(k, chain, train_params, transport, tgt)
-            return new, info.acceptance_rate
+            return new, info.acceptance_rate, da, wf, inv_mass
 
+        step_size = jnp.exp(da.log_step) if adapt_step else cfg.step_size
         if cfg.mcmc_kernel == "mala":
             mcmc = mala.build_kernel(vs)
-            do_mcmc = lambda k: mcmc(k, chain, cfg.step_size)
+            do_mcmc = lambda k: mcmc(k, chain, step_size)
         elif cfg.mcmc_kernel == "hmc":
             from mfm_tpu.kernels import hmc
 
             mcmc = hmc.build_kernel(vs)
             do_mcmc = lambda k: mcmc(
-                k, chain, cfg.step_size, cfg.hmc_num_integration_steps
+                k, chain, step_size, cfg.hmc_num_integration_steps, inv_mass
             )
         elif cfg.mcmc_kernel == "nuts":
             from mfm_tpu.kernels import nuts
 
             mcmc = nuts.build_kernel(vs, cfg.nuts_max_depth)
-            do_mcmc = lambda k: mcmc(k, chain, cfg.step_size)
+            do_mcmc = lambda k: mcmc(k, chain, step_size, inv_mass)
         else:
             raise ValueError(f"unknown mcmc_kernel {cfg.mcmc_kernel!r}")
 
         def do_mala(k):
             new, info = do_mcmc(k)
-            return new, info.acceptance_rate
+            new_da, new_wf, new_im = update_adaptation(
+                count, info.acceptance_rate, new.position, da, wf, inv_mass
+            )
+            return new, info.acceptance_rate, new_da, new_wf, new_im
 
         return lax.cond(
             _interleave_is_flow(count, cfg.mcmc_per_flow_steps), do_flow, do_mala, key
@@ -241,7 +293,10 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
         key, count = xs
         k_gen, k_loss = jax.random.split(key)
 
-        chain, acc = data_step(k_gen, carry.chain, carry.train.params, carry.beta, count)
+        chain, acc, da, wf, inv_mass = data_step(
+            k_gen, carry.chain, carry.train.params, carry.beta, count,
+            carry.da, carry.wf, carry.inv_mass,
+        )
 
         loss, grads = jax.value_and_grad(loss_fn)(
             carry.train.params, k_loss, chain.position
@@ -266,7 +321,9 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
             "acceptance_std": jnp.nanstd(acc),
             "beta": beta,
         }
-        return MFMCarry(chain, train, beta), metrics
+        if adapt_step:
+            metrics["step_size"] = jnp.exp(da.log_step)
+        return MFMCarry(chain, train, beta, da, wf, inv_mass), metrics
 
     return MFMPieces(step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn, fourier)
 
@@ -302,6 +359,9 @@ def run_mfm(
             chain=shard_chains(carry.chain, mesh),
             train=replicate(carry.train, mesh),
             beta=replicate(carry.beta, mesh),
+            da=replicate(carry.da, mesh),
+            wf=replicate(carry.wf, mesh),
+            inv_mass=replicate(carry.inv_mass, mesh),
         )
 
     @jax.jit

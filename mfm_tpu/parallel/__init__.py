@@ -13,3 +13,7 @@ __all__ = [
     "replicated",
     "shard_chains",
 ]
+
+# mfm_tpu.parallel.distributed (multi-process DCN seed replication) is NOT
+# imported here: jax.distributed must initialize before any backend exists,
+# so callers import it explicitly at process startup.

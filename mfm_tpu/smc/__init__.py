@@ -1,6 +1,11 @@
 from mfm_tpu.smc import adaptive_tempered, base, ess, resampling, solvers, tempered
 from mfm_tpu.smc.adaptive_tempered import adaptive_tempered_smc
 from mfm_tpu.smc.base import SMCInfo, SMCState
+from mfm_tpu.smc.distributed import (
+    distributed_stratified,
+    distributed_systematic,
+    make_distributed_resampler,
+)
 from mfm_tpu.smc.resampling import (
     RESAMPLERS,
     get_resampler,
@@ -29,4 +34,7 @@ __all__ = [
     "systematic",
     "TemperedSMCState",
     "tempered_smc",
+    "distributed_stratified",
+    "distributed_systematic",
+    "make_distributed_resampler",
 ]

@@ -3,9 +3,10 @@
 TPU-first counterpart of the reference ``Distribution`` ABC
 (/root/reference/distributions.py:8-39). Differences by design:
 
-- Targets are **immutable pytree dataclasses** (``flax.struct``) so they can
-  cross ``jit`` / ``shard_map`` boundaries; static configuration (dims,
-  boundary conditions) is marked ``pytree_node=False``.
+- Targets are plain Python objects whose array state is fixed at
+  construction; drivers close over them, so inside ``jit`` / ``shard_map``
+  their arrays become trace-time constants (no pytree flattening needed —
+  configuration such as dims/boundary conditions is static by construction).
 - Every density is **batch-first**: ``log_prob(x)`` accepts ``(d,)`` or
   ``(B, d)`` and the batched path is written with large matmuls/elementwise
   ops that map onto the MXU/VPU, instead of relying on ``jax.vmap`` of a

@@ -5,8 +5,11 @@ CPU)."""
 import json
 import sys
 
+import pytest
+
 
 class TestBench:
+    @pytest.mark.slow
     def test_bench_functions_tiny(self, tmp_path, monkeypatch):
         sys.path.insert(0, ".")
         import bench
@@ -18,6 +21,7 @@ class TestBench:
         pf = bench.bench_phi_four_mala(n_chain=32, n_steps=10)
         assert pf["chain_steps_per_sec"] > 0
 
+    @pytest.mark.slow
     def test_headline_line_is_json(self, tmp_path, monkeypatch, capsys):
         sys.path.insert(0, ".")
         import bench

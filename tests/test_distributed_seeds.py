@@ -1,0 +1,77 @@
+"""Multi-process (DCN analogue) seed replication via jax.distributed.
+
+VERDICT r1 item 4: a 2-process CPU run (each process = one "slice")
+replicating seeds, aggregated with one cross-process all-gather
+(SURVEY.md section 2.8 seed-level row; reference multi_modal.py:118-131).
+Runs in subprocesses because jax.distributed must initialize before any
+backend exists — the test session's backend is already up.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "benchmarks", "run_distributed_seeds.py")
+
+
+class TestLocalHelpers:
+    def test_local_seeds_strided_split(self):
+        from mfm_tpu.parallel.distributed import local_seeds
+
+        seeds = [i**10 for i in range(10)]
+        s0 = local_seeds(seeds, 0, 2)
+        s1 = local_seeds(seeds, 1, 2)
+        assert sorted(s0 + s1) == sorted(seeds)
+        assert len(s0) == len(s1) == 5
+
+    def test_local_seeds_rejects_uneven(self):
+        from mfm_tpu.parallel.distributed import local_seeds
+
+        with pytest.raises(ValueError):
+            local_seeds([0, 1, 2], 0, 2)
+
+    def test_aggregate_row_matches_reference_rule(self):
+        from mfm_tpu.parallel.distributed import aggregate_row
+
+        rows = np.arange(12.0).reshape(4, 3)
+        mean, ci = aggregate_row(rows)
+        np.testing.assert_allclose(mean, rows.mean(0))
+        np.testing.assert_allclose(ci, 1.96 * rows.std(0))
+
+
+@pytest.mark.slow
+class TestTwoProcessRun:
+    def test_two_processes_agree(self, tmp_path):
+        """Both processes must see 4 global devices, gather all rows, and
+        print the identical aggregate."""
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)  # the script forces cpu itself
+        out = subprocess.run(
+            [
+                sys.executable, SCRIPT,
+                "--num-seeds", "2", "--learning-iter", "8",
+                "--coordinator", "localhost:13141",
+            ],
+            capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
+        )
+        lines = [
+            json.loads(line)
+            for line in out.stdout.splitlines()
+            if line.startswith("{")
+        ]
+        assert len(lines) == 2, out.stdout + out.stderr
+        by_pid = {rec["process_id"]: rec for rec in lines}
+        assert set(by_pid) == {0, 1}
+        for rec in lines:
+            assert rec["total_rows"] == 2
+            # a true multi-process runtime: both processes' devices visible
+            assert rec["global_devices"] == 2 * rec["local_devices"]
+        assert by_pid[0]["aggregate_mean"] == by_pid[1]["aggregate_mean"]
+        assert by_pid[0]["aggregate_ci95"] == by_pid[1]["aggregate_ci95"]
+        # the two processes ran DIFFERENT seeds
+        assert by_pid[0]["local_seeds"] != by_pid[1]["local_seeds"]

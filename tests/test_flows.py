@@ -84,6 +84,7 @@ class TestCNFLogdet:
         np.testing.assert_allclose(x, u @ M.T, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(logdet, np.trace(A) * np.ones(8), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_forward_inverse_roundtrip_mlp(self, key):
         target = four_mode_mixture()
         apply_fn, params = make_vector_field(
@@ -187,6 +188,7 @@ class TestFMLosses:
 
 
 class TestTrainState:
+    @pytest.mark.slow
     def test_train_step_reduces_loss(self, key):
         target = four_mode_mixture()
         ref = IndepGaussian(2)

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mfm_tpu.adaptation.window import (
     build_schedule,
@@ -62,6 +63,7 @@ class TestHMC:
 
 
 class TestNUTS:
+    @pytest.mark.slow
     def test_gaussian_invariance(self, key):
         target = IndepGaussian(2)
         vs = lambda x: target.value_and_score(x)
@@ -72,6 +74,7 @@ class TestNUTS:
         np.testing.assert_allclose(pool.mean(axis=0), 0.0, atol=0.05)
         np.testing.assert_allclose(pool.var(axis=0), 1.0, atol=0.08)
 
+    @pytest.mark.slow
     def test_correlated_gaussian_invariance(self, key):
         """NUTS must handle scale separation via longer trajectories."""
         from mfm_tpu.targets import GaussianMixture
@@ -100,6 +103,71 @@ class TestNUTS:
         target = IndepGaussian(2, var=0.0001)
         vs = lambda x: target.value_and_score(x)
         kernel = nuts.build_kernel(vs, max_depth=4)
+        state = mala.init(jax.random.normal(key, (32, 2)), vs)
+        _, info = kernel(key, state, 50.0, None)
+        assert bool(info.is_divergent.any())
+
+
+class TestNUTSIterative:
+    """The checkpointed O(max_depth)-program variant must match the static
+    unroll distributionally (same semantics, different control flow)."""
+
+    def _vs(self):
+        scales = jnp.arange(1.0, 5.0)
+
+        def vs(x):
+            return -0.5 * jnp.sum(x * x * scales, -1), -x * scales
+
+        return vs
+
+    def test_matches_static_moments_and_depth(self, key):
+        vs = self._vs()
+        state = mala.init(jax.random.normal(key, (256, 4)), vs)
+
+        def run(kernel, seed):
+            @jax.jit
+            def go(state, k):
+                def body(s, kk):
+                    s, info = kernel(kk, s, 0.35)
+                    return s, (s.position, info.acceptance_rate,
+                               info.num_doublings)
+
+                return jax.lax.scan(
+                    body, state, jax.random.split(jax.random.PRNGKey(seed), 300)
+                )
+
+            _, (pos, acc, dep) = go(state, key)
+            return pos[150:].reshape(-1, 4), float(acc.mean()), float(dep.mean())
+
+        pool_s, acc_s, dep_s = run(nuts.build_kernel(vs, 5, variant="static"), 1)
+        pool_i, acc_i, dep_i = run(
+            nuts.build_kernel(vs, 5, variant="iterative"), 2
+        )
+        expected_var = 1.0 / np.arange(1.0, 5.0)
+        np.testing.assert_allclose(pool_s.var(axis=0), expected_var, rtol=0.15)
+        np.testing.assert_allclose(pool_i.var(axis=0), expected_var, rtol=0.15)
+        np.testing.assert_allclose(pool_i.mean(axis=0), 0.0, atol=0.08)
+        # same termination behavior: realized tree depth & acceptance agree
+        assert abs(dep_s - dep_i) < 0.2, (dep_s, dep_i)
+        assert abs(acc_s - acc_i) < 0.05, (acc_s, acc_i)
+
+    def test_deep_tree_compiles_fast(self, key):
+        """max_depth=10 would unroll 1023 leapfrogs statically; the
+        iterative program is O(max_depth) and compiles in seconds."""
+        import time
+
+        vs = self._vs()
+        kernel = nuts.build_kernel(vs, max_depth=10)  # auto -> iterative
+        state = mala.init(jax.random.normal(key, (64, 4)), vs)
+        start = time.time()
+        new, info = jax.jit(lambda s, k: kernel(k, s, 0.3))(state, key)
+        jax.block_until_ready(new.position)
+        assert time.time() - start < 60.0
+        assert not bool(info.is_divergent.any())
+
+    def test_divergence_flagged(self, key):
+        vs = lambda x: (-0.5 * jnp.sum(x * x, -1) / 1e-4, -x / 1e-4)
+        kernel = nuts.build_kernel(vs, max_depth=4, variant="iterative")
         state = mala.init(jax.random.normal(key, (32, 2)), vs)
         _, info = kernel(key, state, 50.0, None)
         assert bool(info.is_divergent.any())

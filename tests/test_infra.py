@@ -52,6 +52,7 @@ class TestCheckpoint:
         assert step == 7
         np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5))
 
+    @pytest.mark.slow
     def test_mfm_resume(self, tmp_path):
         """Interrupted run + resume lands near a straight-through run."""
         from mfm_tpu.drivers import run_mfm
@@ -118,6 +119,7 @@ class TestPlots:
 
 
 class TestCLI:
+    @pytest.mark.slow
     def test_smoke(self, tmp_path, capsys, monkeypatch):
         """Tiny single-seed CLI run end-to-end."""
         from mfm_tpu import cli
@@ -134,6 +136,7 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "logprob" in out and "\\pm" in out
 
+    @pytest.mark.slow
     def test_smc_smoke(self, tmp_path, capsys):
         from mfm_tpu import cli
 
@@ -155,6 +158,7 @@ class TestCLI:
 
 
 class TestCLIVmapSeeds:
+    @pytest.mark.slow
     def test_vmap_seeds_smoke(self, tmp_path, capsys):
         from mfm_tpu import cli
 

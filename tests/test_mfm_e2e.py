@@ -116,6 +116,7 @@ class TestMFMVariants:
         run = run_mfm(target, cfg)
         assert np.isfinite(np.asarray(run.metrics["loss"])).all()
 
+    @pytest.mark.slow
     def test_cis_kernel(self):
         target = four_mode_mixture()
         cfg = _small_cfg(
@@ -152,6 +153,7 @@ class TestMFMKernelChoice:
         run = run_mfm(target, cfg)
         assert np.isfinite(np.asarray(run.metrics["loss"])).all()
 
+    @pytest.mark.slow
     def test_nuts_kernel(self):
         target = four_mode_mixture()
         cfg = _small_cfg(mcmc_kernel="nuts", nuts_max_depth=3,
@@ -159,8 +161,49 @@ class TestMFMKernelChoice:
         run = run_mfm(target, cfg)
         assert np.isfinite(np.asarray(run.metrics["loss"])).all()
 
+    @pytest.mark.slow
+    def test_in_loop_adaptation_tunes_step(self):
+        """hmc/nuts adapt step size + diagonal mass inside the training scan
+        (replaces the reference's hand-set per-target step_size table,
+        multi_modal.py:55,92): from a deliberately bad initial step, dual
+        averaging on the ensemble-mean acceptance must recover a usable one."""
+        target = four_mode_mixture()
+        cfg = _small_cfg(
+            mcmc_kernel="hmc", hmc_num_integration_steps=5, step_size=1e-3,
+            learning_iter=80, chunk_size=80, mcmc_per_flow_steps=20.0,
+            mass_refresh_every=25,
+        )
+        run = run_mfm(target, cfg)
+        steps = np.asarray(run.metrics["step_size"])
+        assert steps[-1] > 10 * cfg.step_size  # grew from the bad initial
+        acc = np.asarray(run.metrics["acceptance_mean"])
+        assert 0.5 < np.nanmean(acc[-20:]) <= 1.0  # near the 0.8 target
+
+    def test_mala_keeps_fixed_step_by_default(self):
+        """MALA preserves strict reference parity: no adaptation state, the
+        configured step size is used verbatim."""
+        target = four_mode_mixture()
+        cfg = _small_cfg(learning_iter=20, chunk_size=20)
+        astep, amass, _ = cfg.resolved_adaptation()
+        assert not astep and not amass
+        run = run_mfm(target, cfg)
+        assert "step_size" not in run.metrics
+
+    def test_mala_opt_in_adaptation(self):
+        """adapt_step_size=True opts MALA into dual averaging at the 0.574
+        optimal-acceptance target."""
+        target = four_mode_mixture()
+        cfg = _small_cfg(
+            adapt_step_size=True, step_size=5.0, learning_iter=60,
+            chunk_size=60, mcmc_per_flow_steps=20.0,
+        )
+        run = run_mfm(target, cfg)
+        steps = np.asarray(run.metrics["step_size"])
+        assert steps[-1] < 2.5  # shrank from the absurd initial step
+
 
 class TestMultiSeed:
+    @pytest.mark.slow
     def test_vmapped_seed_sweep(self):
         from mfm_tpu.drivers import run_mfm_seeds
 

@@ -52,6 +52,7 @@ class TestEvalHelpers:
 
 
 class TestFlowProgression:
+    @pytest.mark.slow
     def test_progression_figure(self, key):
         from mfm_tpu.drivers.plots import flow_progression
         from mfm_tpu.flows import make_transport, make_vector_field

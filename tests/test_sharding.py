@@ -4,6 +4,7 @@ virtual 8-device CPU mesh, sharded == unsharded numerics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mfm_tpu.config import MFMConfig
 from mfm_tpu.drivers.mfm import build_mfm
@@ -41,6 +42,7 @@ class TestMesh:
 
 
 class TestShardedMFMStep:
+    @pytest.mark.slow
     def test_sharded_step_runs_and_matches(self, devices):
         """One MFM train step sharded over 8 devices must match the
         single-device result (same keys, same init)."""
@@ -88,6 +90,7 @@ class TestShardedMFMStep:
 
         ge.dryrun_multichip(8)
 
+    @pytest.mark.slow
     def test_graft_dryrun_subprocess_hostile_platform(self):
         """Regression for MULTICHIP_r01: the driver runs dryrun_multichip in
         a FRESH process whose environment presets a (possibly broken) TPU

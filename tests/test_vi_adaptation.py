@@ -133,6 +133,7 @@ class TestAdaptation:
         assert state.states.position.shape == (num_batch, batch_size, 2)
         assert jnp.all(jnp.isfinite(state.states.position))
 
+    @pytest.mark.slow
     def test_parallel_eca_sharded_matches_local(self, key, devices):
         """shard_map + ppermute path must agree with the vmap path."""
         from mfm_tpu.parallel import make_mesh
@@ -174,6 +175,7 @@ class TestAdaptation:
             np.asarray(p_l[0]), np.asarray(p_s[0]), rtol=1e-5
         )
 
+    @pytest.mark.slow
     def test_atess_warmup_runs(self, key):
         target = IndepGaussian(2)
         flow, loss_fn, params = _flow_and_loss(key)
@@ -195,6 +197,7 @@ class TestAdaptation:
         new_state, _ = kernel_fn(key, last_state.states)
         assert jnp.all(jnp.isfinite(new_state.position))
 
+    @pytest.mark.slow
     def test_msc_warmup_runs(self, key):
         target = IndepGaussian(2)
         flow, loss_fn, params = _flow_and_loss(key)
@@ -249,6 +252,7 @@ class TestSNPE:
 
 
 class TestECAMultiBatchPerDevice:
+    @pytest.mark.slow
     def test_sharded_two_batches_per_device(self, key, devices):
         """num_batch=16 on 8 devices (2 local batches): rotation must still
         shift by ONE batch globally, matching the vmap path."""
