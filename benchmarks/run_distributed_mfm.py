@@ -1,0 +1,132 @@
+"""Multi-controller MFM TRAINING demo: one training run spanning processes.
+
+Beyond seed replication (run_distributed_seeds.py): here a SINGLE MFM
+training run is data-parallel across processes — the chain ensemble shards
+over a global mesh that spans every process's devices (DCN analogue), flow
+parameters stay replicated, and the FM-loss gradient reduction crosses the
+process boundary as the psum XLA inserts. Every process executes the same
+jitted program (single-program multiple-controller).
+
+Run (two local processes, virtual CPU devices):
+
+    python benchmarks/run_distributed_mfm.py
+
+On a real multi-slice TPU deployment, drop --cpu-devices and raise the
+sizes; the script is topology-agnostic.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def worker(args):
+    from mfm_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        args.coordinator,
+        args.num_processes,
+        args.process_id,
+        cpu_devices_per_process=args.cpu_devices or None,
+    )
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mfm_tpu.config import MFMConfig
+    from mfm_tpu.drivers.mfm import build_mfm
+    from mfm_tpu.parallel import make_mesh, replicate, shard_chains
+    from mfm_tpu.targets import four_mode_mixture
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh((n_dev,), ("chains",))
+    target = four_mode_mixture()
+    cfg = MFMConfig(
+        example="4-mode", dim=2, num_chain=max(4 * n_dev, 16),
+        learning_iter=args.learning_iter, chunk_size=args.learning_iter,
+        hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,), fourier_dim=8,
+        ode_steps=4, mcmc_per_flow_steps=2.0,
+    )
+    key = jax.random.PRNGKey(0)  # same key on all processes -> same program
+    step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+
+    # every process computes the identical initial carry, then places it on
+    # the GLOBAL mesh: chain states sharded across all processes' devices,
+    # train state + tempering level replicated
+    carry = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
+    carry = carry._replace(
+        chain=shard_chains(carry.chain, mesh),
+        train=replicate(carry.train, mesh),
+        beta=replicate(carry.beta, mesh),
+    )
+
+    @jax.jit
+    def run_chunk(carry, keys, counts):
+        return lax.scan(step_fn, carry, (keys, counts))
+
+    keys = jax.random.split(jax.random.PRNGKey(1), cfg.learning_iter)
+    counts = jnp.arange(1, cfg.learning_iter + 1)
+    with mesh:
+        carry, metrics = run_chunk(carry, keys, counts)
+        jax.block_until_ready(carry.train.params)
+
+    # metrics are replicated -> identical and addressable on every process
+    print(
+        json.dumps(
+            {
+                "process_id": args.process_id,
+                "global_devices": n_dev,
+                "local_devices": len(jax.local_devices()),
+                "num_chain_global": cfg.num_chain,
+                "final_loss": round(float(metrics["loss"][-1]), 4),
+                "final_beta": float(carry.beta),
+                "mean_acceptance": round(
+                    float(jnp.nanmean(metrics["acceptance_mean"])), 4
+                ),
+            }
+        ),
+        flush=True,
+    )
+
+
+def launch(args):
+    procs = []
+    for pid in range(args.num_processes):
+        cmd = [
+            sys.executable, __file__,
+            "--process-id", str(pid),
+            "--num-processes", str(args.num_processes),
+            "--coordinator", args.coordinator,
+            "--cpu-devices", str(args.cpu_devices),
+            "--learning-iter", str(args.learning_iter),
+        ]
+        procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
+    rc = 0
+    for p in procs:
+        out, _ = p.communicate()
+        sys.stdout.write(out)
+        rc = max(rc, p.returncode)
+    sys.exit(rc)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--num-processes", type=int, default=2)
+    p.add_argument("--coordinator", default="localhost:13099")
+    p.add_argument("--cpu-devices", type=int, default=2)
+    p.add_argument("--learning-iter", type=int, default=20)
+    args = p.parse_args()
+    if args.process_id is None:
+        launch(args)
+    else:
+        worker(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,6 +191,9 @@ def main(argv=None):
     p.add_argument("--vmap-seeds", action="store_true",
                    help="run all replication seeds as one vmapped program "
                         "(training only; evaluation falls back per seed)")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any MFMConfig field (repeatable), e.g. "
+                        "--set mcmc_kernel=nuts --set eval_hutchinson_probes=8")
     args = p.parse_args(argv)
 
     for flag, pkg in [("do_fab", "fabjax"), ("do_flowmc", "flowMC"), ("do_dds", "dds")]:
@@ -220,6 +223,19 @@ def main(argv=None):
             overrides[name] = val
 
     overrides["mcmc_kernel"] = args.mcmc_kernel
+    import ast
+
+    from mfm_tpu.config import MFMConfig as _Cfg
+
+    for item in args.set:
+        key, _, raw = item.partition("=")
+        if not _ or not hasattr(_Cfg(), key):
+            raise SystemExit(f"--set: unknown config field {key!r}")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw  # plain string (e.g. ref_dist=prior)
+        overrides[key] = value
     cfg = preset(args.example, **overrides)
     target = make_target(args.example)
 

@@ -10,6 +10,7 @@ from mfm_tpu.drivers.mfm import (
     next_beta,
     run_mfm,
     sample_flow,
+    sample_flow_move,
     tempered_value_and_score,
 )
 from mfm_tpu.drivers.smc_run import SMCRunResult, run_smc
@@ -24,6 +25,7 @@ __all__ = [
     "next_beta",
     "run_mfm",
     "sample_flow",
+    "sample_flow_move",
     "tempered_value_and_score",
     "SMCRunResult",
     "run_smc",

@@ -145,8 +145,21 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
     )
     apply_fn = net.apply
     params = net.init(key_init, jnp.zeros((1, cfg.dim)), jnp.zeros((1,)))
+
+    # transport-path apply: optionally the fused weight-resident Pallas
+    # kernel (ops/field_pallas.py) for VMEM-sized fields
+    transport_apply = apply_fn
+    if cfg.pallas_field:
+        from mfm_tpu.ops.field_pallas import fits_in_vmem, make_pallas_field_apply
+
+        if cfg.non_linearity in ("relu", "tanh") and fits_in_vmem(params):
+            transport_apply = make_pallas_field_apply(
+                params, fourier, cfg.non_linearity,
+                score_fn=target.score, score_clip=cfg.score_clip,
+            )
     transport = make_transport(
-        apply_fn, divergence=cfg.divergence, n_steps=cfg.ode_steps, method=cfg.ode_method
+        transport_apply, divergence=cfg.divergence, n_steps=cfg.ode_steps,
+        method=cfg.ode_method,
     )
     if cfg.ref_dist == "prior":
         from mfm_tpu.targets.base import PriorReference
@@ -439,6 +452,23 @@ def run_mfm(
     metrics = jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs), *metrics_chunks
     )
+
+    # evaluation-facing transport: richer divergence probes / finer ODE grid
+    # than the training loop's (IS weights exponentiate logdet noise)
+    if (
+        cfg.eval_hutchinson_probes != 1
+        or cfg.eval_probe_dist != "gaussian"
+        or cfg.eval_ode_steps is not None
+    ):
+        transport = make_transport(
+            apply_fn,
+            divergence=cfg.divergence,
+            n_steps=cfg.eval_ode_steps or cfg.ode_steps,
+            method=cfg.ode_method,
+            num_probes=cfg.eval_hutchinson_probes,
+            probe_dist=cfg.eval_probe_dist,
+        )
+
     return MFMRun(
         carry.train,
         carry.chain,
@@ -482,3 +512,65 @@ def sample_flow(run: MFMRun, key: jax.Array, n_samples: int, target: Target):
     return sample_flow_parts(
         run.transport, run.train.params, run.ref_dist, key, n_samples, target
     )
+
+
+def sample_flow_move(
+    run: MFMRun,
+    key: jax.Array,
+    n_samples: int,
+    target: Target,
+    n_moves: int = 100,
+    init_step: float = 0.01,
+    target_acceptance: float = 0.574,
+):
+    """Move-corrected flow sampling: IS resample, then ``n_moves`` MALA
+    steps on the exact target with dual-averaging step-size adaptation.
+
+    At high dim the raw importance weights are irreducibly heavy-tailed
+    (log-weight spread grows ~ per-dim flow error x d; measured ~12 nats on
+    pines d=1600, benchmarks/pines_is_ess.py), so self-normalized IS alone
+    collapses to a handful of effective samples — for the reference too
+    (RESULTS.md r1 parity). The MCMC move kernel repairs exactly this: the
+    resampled set starts in the typical set of pi and the moves restore
+    diversity, giving chain-quality posterior samples at a bounded extra
+    cost. New capability beyond the reference's final-IS block
+    (exe_flow_matching.py:453-459). Measured on pines d=1600: KSD-U 2813 ->
+    0.048 (RESULTS.md round 2).
+
+    Caveat: local moves repair within-mode degeneracy; on strongly
+    multimodal targets the resampled ancestors must already cover the modes
+    (the trained flow provides that on the benchmark mixtures).
+
+    Returns (moved_samples, exact_samples, log_weights).
+    """
+    from mfm_tpu.adaptation.window import da_init, da_update
+
+    key_is, key_moves = jax.random.split(key)
+    flow_s, exact_s, log_w = sample_flow(run, key_is, n_samples, target)
+
+    vs = target.value_and_score
+    kernel = mala.build_kernel(vs)
+
+    @jax.jit
+    def run_moves(positions, key):
+        state = mala.init(positions, vs)
+
+        def body(carry, k):
+            state, da = carry
+            new_state, info = kernel(k, state, jnp.exp(da.log_step))
+            da = da_update(
+                da,
+                jnp.nan_to_num(jnp.mean(info.acceptance_rate), nan=0.0),
+                target_acceptance,
+            )
+            return (new_state, da), None
+
+        (state, _), _ = lax.scan(
+            body,
+            (state, da_init(init_step)),
+            jax.random.split(key, n_moves),
+        )
+        return state.position
+
+    moved = run_moves(exact_s, key_moves)
+    return moved, exact_s, log_w

@@ -32,24 +32,45 @@ from mfm_tpu.flows.ode import odeint_grid, odeint_grid_save
 
 
 def exact_divergence(apply_fn: Callable) -> Callable:
-    """div v(x, t) via per-sample Jacobian trace; (params, (B,d), (B,)) -> (B,)."""
+    """Exact div v(x, t) as d basis-vector JVPs, scanned and batched.
+
+    Same O(d) forward-pass count as the reference's per-sample ``jacfwd``
+    trace (exe_flow_matching.py:215-217) but each pass is one (B, d) batched
+    JVP — whole-ensemble GEMMs on the MXU instead of B vmapped per-sample
+    Jacobians, and no (B, d, d) Jacobian materialization. Also composes with
+    custom-JVP transports (the fused Pallas field)."""
 
     def div(params, x, t, probe=None):
-        def single(xi, ti):
-            jac = jax.jacfwd(lambda u: apply_fn(params, u, ti))(xi)
-            return jnp.trace(jac)
+        def body(acc, i):
+            e = jnp.zeros_like(x).at[:, i].set(1.0)
+            _, jv = jax.jvp(lambda u: apply_fn(params, u, t), (x,), (e,))
+            return acc + jv[:, i], None
 
-        return jax.vmap(single)(x, t)
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros(x.shape[:1], x.dtype), jnp.arange(x.shape[-1])
+        )
+        return acc
 
     return div
 
 
 def hutchinson_divergence(apply_fn: Callable) -> Callable:
-    """Hutchinson estimate probe^T (dv/dx) probe with one batched JVP."""
+    """Hutchinson estimate probe^T (dv/dx) probe, one batched JVP per probe.
+
+    ``probe`` is (B, d) or (K, B, d); K probes are averaged, cutting the
+    estimator variance K-fold. The IS weights exp(log pi - log q) EXPONENTIATE
+    the logdet noise (ESS fraction ~ exp(-sigma^2) under lognormal error), so
+    at d=1600 eval-time probes are the difference between a degenerate and a
+    usable importance sampler — see config.eval_hutchinson_probes."""
 
     def div(params, x, t, probe):
-        _, jvp = jax.jvp(lambda u: apply_fn(params, u, t), (x,), (probe,))
-        return jnp.sum(probe * jvp, axis=-1)
+        def one(p):
+            _, jvp = jax.jvp(lambda u: apply_fn(params, u, t), (x,), (p,))
+            return jnp.sum(p * jvp, axis=-1)
+
+        if probe.ndim == x.ndim:
+            return one(probe)
+        return jnp.mean(jax.vmap(one)(probe), axis=0)
 
     return div
 
@@ -72,12 +93,18 @@ def make_transport(
     divergence: str = "exact",
     n_steps: int = 24,
     method: str = "rk4",
+    num_probes: int = 1,
+    probe_dist: str = "gaussian",
 ) -> Transport:
     """Build ensemble transport for a batch-first vector field ``apply_fn``.
 
-    ``divergence`` is 'exact' or 'hutchinson'; the Hutchinson path draws one
-    probe per sample per call from the supplied key (parity with the
-    reference's per-transform probe, exe_flow_matching.py:211-214).
+    ``divergence`` is 'exact' or 'hutchinson'. The Hutchinson path draws
+    ``num_probes`` probes per sample per call from the supplied key
+    (num_probes=1 gaussian is parity with the reference's per-transform
+    probe, exe_flow_matching.py:211-214). ``probe_dist`` 'rademacher' has
+    strictly lower trace-estimator variance than 'gaussian' (it zeroes the
+    diagonal contribution); use more probes at evaluation time where the
+    logdet noise otherwise destroys the IS weights.
     """
     div_fn = {
         "exact": exact_divergence,
@@ -90,7 +117,12 @@ def make_transport(
             return None
         if key is None:
             raise ValueError("hutchinson divergence requires a PRNG key")
-        return jax.random.normal(key, x.shape, x.dtype)
+        shape = x.shape if num_probes == 1 else (num_probes, *x.shape)
+        if probe_dist == "rademacher":
+            return (
+                jax.random.rademacher(key, shape, jnp.int8).astype(x.dtype)
+            )
+        return jax.random.normal(key, shape, x.dtype)
 
     def _fwd_dyn(params, probe):
         def dyn(y, t):

@@ -59,7 +59,7 @@ def _ppermute_shift(x, axis: str, dist: int, size: int):
     return lax.ppermute(x, axis, perm)
 
 
-def _exclusive_scan(local, axis: str, size: int, op):
+def _inclusive_scan(local, axis: str, size: int, op):
     """Inclusive scan over the mesh axis (Hillis–Steele, log2(S) ppermutes).
     ``op`` must treat 0 as identity (holds for + and max on >=0 values)."""
     incl = local
@@ -142,7 +142,7 @@ def _distributed_offset_resample(
     # 3. combine marks, slice per shard, segment-fill by cummax
     slice_marks = lax.psum_scatter(marks, axis, scatter_dimension=0, tiled=True)
     local_fill = lax.cummax(slice_marks)
-    carry_incl = _exclusive_scan(local_fill[-1], axis, size, jnp.maximum)
+    carry_incl = _inclusive_scan(local_fill[-1], axis, size, jnp.maximum)
     # exclusive max-carry: drop own slice's contribution
     carry_excl = jnp.where(
         shard == 0,

@@ -37,6 +37,7 @@ def _weights(key, n, dtype=jnp.float32):
     return w / w.sum()
 
 
+@pytest.mark.slow
 class TestParity:
     def test_exact_in_x64(self, mesh, key):
         """The algorithm itself is exact: with f64 prefix sums the ancestor
@@ -92,6 +93,7 @@ class TestParity:
         assert (counts <= np.ceil(expected) + 1e-6).all()
 
 
+@pytest.mark.slow
 class TestCommVolume:
     def test_no_weight_allgather(self, mesh, key):
         """The compiled distributed program must contain reduce-scatter +
@@ -120,6 +122,65 @@ class TestCommVolume:
             .as_text()
         )
         assert "all-gather" in base_txt
+
+
+@pytest.mark.slow
+class TestShardedSMC:
+    def test_adaptive_tempered_smc_with_distributed_resampler(self, mesh, key):
+        """End-to-end: adaptive tempered SMC with particles sharded over the
+        8-way mesh and the shard_map resampler plugged in; posterior moments
+        must match the local-resampler run."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mfm_tpu.kernels import mala
+        from mfm_tpu.smc import adaptive_tempered_smc, systematic
+        from mfm_tpu.targets import IndepGaussian
+
+        target = IndepGaussian(2, mean=2.0, var=0.5)
+        n = 512
+
+        def run(resample_fn, particles):
+            algo = adaptive_tempered_smc(
+                target,
+                lambda vs: (
+                    lambda k, s: mala.build_kernel(vs)(k, s, 0.25)
+                ),
+                mala.init,
+                resample_fn,
+                target_ess=0.7,
+                num_mcmc_steps=5,
+            )
+            state = algo.init(particles)
+
+            @jax.jit
+            def steps(state, key):
+                def body(s, k):
+                    s, info = algo.step(k, s)
+                    return s, s.lmbda
+
+                return jax.lax.scan(body, state, jax.random.split(key, 12))
+
+            state, lmbdas = steps(state, key)
+            return state
+
+        particles = jax.random.normal(jax.random.fold_in(key, 1), (n, 2))
+        local = run(systematic, particles)
+        sharded_particles = jax.device_put(
+            particles, NamedSharding(mesh, P("chains"))
+        )
+        from mfm_tpu.smc.distributed import make_distributed_resampler
+
+        dist = run(
+            make_distributed_resampler("systematic", mesh), sharded_particles
+        )
+        assert float(local.lmbda) == 1.0 and float(dist.lmbda) == 1.0
+        for st in (local, dist):
+            np.testing.assert_allclose(
+                np.asarray(st.particles).mean(axis=0), 2.0, atol=0.2
+            )
+            np.testing.assert_allclose(
+                np.asarray(st.particles).var(axis=0), 0.5, rtol=0.35
+            )
 
 
 class TestAPI:

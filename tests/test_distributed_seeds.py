@@ -45,6 +45,38 @@ class TestLocalHelpers:
 
 
 @pytest.mark.slow
+class TestMultiControllerTraining:
+    def test_single_run_spans_processes(self):
+        """One MFM training run data-parallel across 2 processes: the chain
+        ensemble shards over the process-spanning mesh; replicated metrics
+        must be identical on every controller."""
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        script = os.path.join(REPO, "benchmarks", "run_distributed_mfm.py")
+        out = subprocess.run(
+            [
+                sys.executable, script, "--learning-iter", "12",
+                "--coordinator", "localhost:13197",
+            ],
+            capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
+        )
+        lines = [
+            json.loads(line)
+            for line in out.stdout.splitlines()
+            if line.startswith("{")
+        ]
+        assert len(lines) == 2, out.stdout + out.stderr
+        a, b = lines
+        assert {a["process_id"], b["process_id"]} == {0, 1}
+        for rec in lines:
+            assert rec["global_devices"] == 2 * rec["local_devices"]
+        # single-program multiple-controller: replicated outputs agree
+        assert a["final_loss"] == b["final_loss"]
+        assert a["final_beta"] == b["final_beta"]
+        assert a["mean_acceptance"] == b["mean_acceptance"]
+
+
+@pytest.mark.slow
 class TestTwoProcessRun:
     def test_two_processes_agree(self, tmp_path):
         """Both processes must see 4 global devices, gather all rows, and

@@ -1,0 +1,199 @@
+"""Fused weight-resident Pallas field apply (interpret mode on CPU) vs the
+flax VectorFieldNet, plus the multi-probe Hutchinson divergence estimator.
+
+VERDICT r1 item 9 (reference hot loop exe_flow_matching.py:66-90,208-220)
+and item 8 (eval-time probes for the IS weights, :453-459).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mfm_tpu.flows.vector_field import NON_LINEARITIES, VectorFieldNet
+from mfm_tpu.ops.field_pallas import (
+    fits_in_vmem,
+    make_pallas_field_apply,
+    split_params,
+)
+
+
+def _build(key, dim=8, width=32, fourier=16, act="relu", score_fn=None):
+    kf, ki = jax.random.split(key)
+    freqs = jax.random.normal(kf, (fourier,))
+    net = VectorFieldNet(
+        fourier_freqs=freqs,
+        hidden_x=(width, width),
+        hidden_t=(width, width),
+        hidden_xt=(width, width),
+        act=NON_LINEARITIES[act],
+        score_fn=score_fn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    params = net.init(ki, jnp.zeros((1, dim)), jnp.zeros((1,)))
+    # zero-init heads make outputs zero; randomize for a meaningful test
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.fold_in(ki, p.size), p.shape),
+        params,
+    )
+    return net, params, freqs
+
+
+class TestPallasField:
+    def test_primal_matches_flax(self, key):
+        net, params, freqs = _build(key)
+        apply_pl = make_pallas_field_apply(params, freqs, "relu")
+        x = jax.random.normal(jax.random.fold_in(key, 1), (20, 8))
+        t = jnp.linspace(0.1, 0.9, 20)
+        ref = net.apply(params, x, t)
+        got = apply_pl(params, x, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_with_score_gate(self, key):
+        score = lambda x: -x  # standard-gaussian score
+        net, params, freqs = _build(key, score_fn=score)
+        apply_pl = make_pallas_field_apply(params, freqs, "relu", score_fn=score)
+        x = jax.random.normal(jax.random.fold_in(key, 2), (12, 8))
+        t = jnp.full((12,), 0.4)
+        np.testing.assert_allclose(
+            np.asarray(apply_pl(params, x, t)),
+            np.asarray(net.apply(params, x, t)),
+            atol=1e-5,
+        )
+
+    def test_x_jvp_fused_kernel_matches_flax(self, key):
+        """The divergence-estimator path: x-tangents run the fused
+        primal+tangent kernel and must match autodiff of the flax net."""
+        net, params, freqs = _build(key, act="tanh")
+        apply_pl = make_pallas_field_apply(params, freqs, "tanh")
+        x = jax.random.normal(jax.random.fold_in(key, 3), (16, 8))
+        t = jnp.full((16,), 0.25)
+        eps = jax.random.normal(jax.random.fold_in(key, 4), (16, 8))
+        ref_p, ref_t = jax.jvp(lambda xx: net.apply(params, xx, t), (x,), (eps,))
+        got_p, got_t = jax.jvp(lambda xx: apply_pl(params, xx, t), (x,), (eps,))
+        np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t), atol=1e-5)
+
+    @pytest.mark.slow
+    def test_param_grads_fall_back_correctly(self, key):
+        """Weight tangents (training path) must agree with flax autodiff via
+        the jnp-twin fallback."""
+        net, params, freqs = _build(key)
+        apply_pl = make_pallas_field_apply(params, freqs, "relu")
+        x = jax.random.normal(jax.random.fold_in(key, 5), (8, 8))
+        t = jnp.full((8,), 0.6)
+
+        def loss_ref(p):
+            return jnp.sum(net.apply(p, x, t) ** 2)
+
+        def loss_pl(p):
+            return jnp.sum(apply_pl(p, x, t) ** 2)
+
+        g_ref = jax.grad(loss_ref)(params)
+        g_pl = jax.grad(loss_pl)(params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3
+            ),
+            g_ref,
+            g_pl,
+        )
+
+    def test_batch_padding(self, key):
+        """Batch sizes that do not divide the tile are padded and sliced."""
+        net, params, freqs = _build(key)
+        apply_pl = make_pallas_field_apply(params, freqs, "relu")
+        x = jax.random.normal(jax.random.fold_in(key, 6), (7, 8))
+        t = jnp.full((7,), 0.3)
+        np.testing.assert_allclose(
+            np.asarray(apply_pl(params, x, t)),
+            np.asarray(net.apply(params, x, t)),
+            atol=1e-5,
+        )
+
+    def test_split_params_roundtrip_shapes(self, key):
+        _, params, _ = _build(key, dim=4, width=16, fourier=8)
+        flat, meta = split_params(params)
+        assert meta == (1, 2, 1)  # one post-split t layer, 2 x layers, 1 xt
+        assert flat[0].shape == (8, 16) and flat[1].shape == (8, 16)
+
+    def test_vmem_guard(self, key):
+        _, small, _ = _build(key)
+        assert fits_in_vmem(small)
+        big = {"params": {"w": jnp.zeros((4096, 4096))}}
+        assert not fits_in_vmem(big)
+
+    def test_unsupported_activation_raises(self, key):
+        _, params, freqs = _build(key)
+        with pytest.raises(ValueError, match="activations"):
+            make_pallas_field_apply(params, freqs, "gelu")
+
+
+class TestPallasFieldInDriver:
+    @pytest.mark.slow
+    def test_mfm_step_with_pallas_transport(self, key):
+        """cfg.pallas_field=True routes the CNF transport through the fused
+        kernel (interpret mode here); one flow step + one MALA step must run
+        and stay finite."""
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers.mfm import build_mfm
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        cfg = MFMConfig(
+            example="4-mode", dim=2, num_chain=16, learning_iter=4,
+            hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,), fourier_dim=8,
+            ode_steps=4, mcmc_per_flow_steps=1.0, pallas_field=True,
+        )
+        step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+        carry = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
+        carry, m1 = step_fn(carry, (jax.random.PRNGKey(1), jnp.asarray(1)))
+        carry, m2 = step_fn(carry, (jax.random.PRNGKey(2), jnp.asarray(2)))
+        assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+class TestMultiProbeHutchinson:
+    def _transport(self, **kw):
+        from mfm_tpu.flows.cnf import make_transport
+
+        # linear field with known divergence: v = A x, div = tr(A)
+        A = jnp.array([[0.3, 0.8, 0.0], [-0.5, -0.1, 0.2], [0.1, 0.0, 0.4]])
+
+        def apply_fn(params, x, t):
+            return x @ A.T
+
+        return make_transport(
+            apply_fn, divergence="hutchinson", n_steps=8, **kw
+        ), float(jnp.trace(A))
+
+    @pytest.mark.slow
+    def test_probes_reduce_logdet_variance(self, key):
+        t1, tr = self._transport(num_probes=1)
+        t16, _ = self._transport(num_probes=16)
+        u = jax.random.normal(key, (64, 3))
+
+        def spread(transport, seed0):
+            outs = [
+                transport.forward({}, u, jax.random.PRNGKey(s))[1]
+                for s in range(seed0, seed0 + 8)
+            ]
+            return float(jnp.std(jnp.stack(outs), axis=0).mean())
+
+        s1, s16 = spread(t1, 0), spread(t16, 100)
+        assert s16 < s1 / 2.0, (s1, s16)
+        # unbiased: mean over keys near the exact logdet tr(A) * 1
+        ld = jnp.stack(
+            [t16.forward({}, u, jax.random.PRNGKey(s))[1] for s in range(8)]
+        )
+        np.testing.assert_allclose(float(ld.mean()), tr, rtol=0.1)
+
+    def test_rademacher_exact_for_linear_field(self, key):
+        """For a linear field, rademacher probes give eps^T A eps whose
+        expectation is tr(A); with many probes the estimate tightens."""
+        t_rad, tr = self._transport(num_probes=32, probe_dist="rademacher")
+        u = jax.random.normal(key, (32, 3))
+        _, ld = t_rad.forward({}, u, jax.random.PRNGKey(3))
+        # per-sample estimates are noisy (the probe is shared across ODE
+        # stages); the population mean must sit on tr(A)
+        np.testing.assert_allclose(float(np.mean(ld)), tr, rtol=0.1)
+        assert float(np.std(ld)) < 0.2

@@ -38,6 +38,7 @@ class TestHMC:
         np.testing.assert_allclose(pool.var(axis=0), 1.0, atol=0.08)
         assert float(acc.mean()) > 0.8  # well-tuned HMC on a Gaussian
 
+    @pytest.mark.slow
     def test_anisotropic_with_mass(self, key):
         """Matching the inverse mass to the target variance equalizes scales."""
         target = IndepGaussian(2, mean=1.0, var=9.0)
@@ -52,6 +53,7 @@ class TestHMC:
         np.testing.assert_allclose(pool.mean(axis=0), 1.0, atol=0.15)
         np.testing.assert_allclose(pool.var(axis=0), 9.0, rtol=0.12)
 
+    @pytest.mark.slow
     def test_energy_conservation_small_steps(self, key):
         """With tiny steps the acceptance must be ~1 (leapfrog correctness)."""
         target = four_mode_mixture()
@@ -90,6 +92,7 @@ class TestNUTS:
         pool = positions[200:].reshape(-1, 2)
         np.testing.assert_allclose(pool.var(axis=0), np.asarray(std) ** 2, rtol=0.15)
 
+    @pytest.mark.slow
     def test_uses_multiple_doublings(self, key):
         target = IndepGaussian(2)
         vs = lambda x: target.value_and_score(x)
@@ -120,6 +123,7 @@ class TestNUTSIterative:
 
         return vs
 
+    @pytest.mark.slow
     def test_matches_static_moments_and_depth(self, key):
         vs = self._vs()
         state = mala.init(jax.random.normal(key, (256, 4)), vs)
@@ -151,6 +155,7 @@ class TestNUTSIterative:
         assert abs(dep_s - dep_i) < 0.2, (dep_s, dep_i)
         assert abs(acc_s - acc_i) < 0.05, (acc_s, acc_i)
 
+    @pytest.mark.slow
     def test_deep_tree_compiles_fast(self, key):
         """max_depth=10 would unroll 1023 leapfrogs statically; the
         iterative program is O(max_depth) and compiles in seconds."""

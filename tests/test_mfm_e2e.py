@@ -99,6 +99,7 @@ class TestMFMEndToEnd:
 
 
 class TestMFMVariants:
+    @pytest.mark.slow
     def test_real_samples_mode(self):
         """mcmc_per_flow_steps < 0 trains the flow on exact target draws
         (reference use_real_samples, exe_flow_matching.py:328,382-386)."""
@@ -110,6 +111,7 @@ class TestMFMVariants:
         # with a FIXED data distribution the FM loss must come down
         assert losses[-10:].mean() < losses[:10].mean()
 
+    @pytest.mark.slow
     def test_hutchinson_mode(self):
         target = four_mode_mixture()
         cfg = _small_cfg(hutchinson=True, learning_iter=40, chunk_size=40)
@@ -126,6 +128,7 @@ class TestMFMVariants:
         run = run_mfm(target, cfg)
         assert np.isfinite(np.asarray(run.metrics["loss"])).all()
 
+    @pytest.mark.slow
     def test_indep_mh_kernel(self):
         target = four_mode_mixture()
         cfg = _small_cfg(
@@ -135,6 +138,7 @@ class TestMFMVariants:
         run = run_mfm(target, cfg)
         assert np.isfinite(np.asarray(run.metrics["loss"])).all()
 
+    @pytest.mark.slow
     def test_fractional_interleave(self):
         """0 < mcmc_per_flow_steps < 1: mostly flow steps."""
         target = four_mode_mixture()
@@ -146,6 +150,7 @@ class TestMFMVariants:
 
 
 class TestMFMKernelChoice:
+    @pytest.mark.slow
     def test_hmc_kernel(self):
         target = four_mode_mixture()
         cfg = _small_cfg(mcmc_kernel="hmc", hmc_num_integration_steps=5,
@@ -189,6 +194,7 @@ class TestMFMKernelChoice:
         run = run_mfm(target, cfg)
         assert "step_size" not in run.metrics
 
+    @pytest.mark.slow
     def test_mala_opt_in_adaptation(self):
         """adapt_step_size=True opts MALA into dual averaging at the 0.574
         optimal-acceptance target."""

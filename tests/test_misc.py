@@ -100,6 +100,7 @@ class TestWasteFreeHook:
 
 
 class TestWindowAdaptationNUTS:
+    @pytest.mark.slow
     def test_nuts_window(self, key):
         from mfm_tpu.adaptation.window import window_adaptation
         from mfm_tpu.kernels import mala, nuts

@@ -10,6 +10,7 @@ weights statistically faithful.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mfm_tpu.flows import make_transport, make_vector_field
 from mfm_tpu.kernels import mala
@@ -45,6 +46,7 @@ class TestPrecisionOracle:
 
         np.testing.assert_allclose(acc32, acc64, atol=2e-4)
 
+    @pytest.mark.slow
     def test_cnf_logdet_f32_vs_f64(self, key):
         target = four_mode_mixture()
         apply_fn, params = make_vector_field(

@@ -216,6 +216,7 @@ class TestAdaptation:
         )
         assert jnp.all(jnp.isfinite(last_state.states.position))
 
+    @pytest.mark.slow
     def test_msc_mala_warmup_runs(self, key):
         target = IndepGaussian(2)
         flow, loss_fn, params = _flow_and_loss(key)
