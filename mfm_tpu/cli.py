@@ -79,7 +79,20 @@ def run_one(target, cfg, args):
     else:
         run = run_mfm(target, cfg, logger=log)
         train_time = run.train_time
-        flow_samples, exact_samples, _ = sample_flow(run, key_eval, n_eval, target)
+        if getattr(args, "move_correct", 0):
+            # row 1 = the IS-resampled set, row 2 (* columns) = after the
+            # MCMC move correction (drivers.sample_flow_move)
+            from mfm_tpu.drivers import sample_flow_move
+
+            moved, is_resampled, _ = sample_flow_move(
+                run, key_eval, n_eval, target, n_moves=args.move_correct,
+                init_step=cfg.step_size,
+            )
+            flow_samples, exact_samples = is_resampled, moved
+        else:
+            flow_samples, exact_samples, _ = sample_flow(
+                run, key_eval, n_eval, target
+            )
 
     if args.check and real_samples is not None:
         from mfm_tpu.drivers import check_floor
@@ -194,6 +207,10 @@ def main(argv=None):
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                    help="override any MFMConfig field (repeatable), e.g. "
                         "--set mcmc_kernel=nuts --set eval_hutchinson_probes=8")
+    p.add_argument("--move-correct", type=int, default=0, metavar="N",
+                   help="after IS resampling, run N self-tuning MALA moves on "
+                        "the exact target (repairs IS degeneracy at high dim; "
+                        "pines d=1600: KSD-U 2813 -> 0.048 at N=100)")
     args = p.parse_args(argv)
 
     for flag, pkg in [("do_fab", "fabjax"), ("do_flowmc", "flowMC"), ("do_dds", "dds")]:

@@ -143,6 +143,7 @@ class TestStubFlowMC:
                     "logpdf_star", "stein_u_star", "stein_v_star", "mmd_star"):
             assert np.isfinite(m[col]), col
 
+    @pytest.mark.slow
     def test_cli_row_via_stub(self, monkeypatch, tmp_path):
         """--do-flowmc end to end through the CLI with the stub installed."""
         _install_stub_flowmc(monkeypatch, 2)

@@ -61,6 +61,7 @@ class TestPallasField:
             atol=1e-5,
         )
 
+    @pytest.mark.slow
     def test_x_jvp_fused_kernel_matches_flax(self, key):
         """The divergence-estimator path: x-tangents run the fused
         primal+tangent kernel and must match autodiff of the flax net."""
@@ -152,6 +153,29 @@ class TestPallasFieldInDriver:
         assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
 
 
+class TestEvalTransportOverrides:
+    @pytest.mark.slow
+    def test_eval_probes_plumbed_through_driver(self, key):
+        """cfg.eval_hutchinson_probes / eval_ode_steps swap the MFMRun's
+        eval-facing transport; sampling must work and stay finite."""
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers import run_mfm, sample_flow
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        cfg = MFMConfig(
+            example="4-mode", dim=2, num_chain=16, learning_iter=8,
+            chunk_size=8, hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,),
+            fourier_dim=8, ode_steps=4, hutchinson=True,
+            eval_hutchinson_probes=4, eval_probe_dist="rademacher",
+            eval_ode_steps=8,
+        )
+        run = run_mfm(target, cfg)
+        flow_s, exact_s, log_w = sample_flow(run, key, 64, target)
+        assert np.isfinite(np.asarray(flow_s)).all()
+        assert np.isfinite(np.asarray(log_w)).all()
+
+
 class TestMultiProbeHutchinson:
     def _transport(self, **kw):
         from mfm_tpu.flows.cnf import make_transport
@@ -187,6 +211,7 @@ class TestMultiProbeHutchinson:
         )
         np.testing.assert_allclose(float(ld.mean()), tr, rtol=0.1)
 
+    @pytest.mark.slow
     def test_rademacher_exact_for_linear_field(self, key):
         """For a linear field, rademacher probes give eps^T A eps whose
         expectation is tr(A); with many probes the estimate tightens."""

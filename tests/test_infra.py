@@ -137,6 +137,33 @@ class TestCLI:
         assert "logprob" in out and "\\pm" in out
 
     @pytest.mark.slow
+    def test_set_override_and_move_correct(self, tmp_path, capsys, monkeypatch):
+        """--set reaches arbitrary config fields; --move-correct swaps the
+        * columns to the MCMC-move-corrected set."""
+        from mfm_tpu import cli
+
+        monkeypatch.chdir(tmp_path)
+        cli.main(
+            [
+                "--example", "4-mode", "--seed", "0",
+                "--learning-iter", "20", "--num-chain", "16",
+                "--ode-steps", "4", "--chunk-size", "20",
+                "--run-dir", str(tmp_path / "runs"),
+                "--set", "fourier_dim=8",
+                "--set", "hidden_x=(16,)",
+                "--move-correct", "5",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "logprob" in out and "\\pm" in out
+
+    def test_set_rejects_unknown_field(self):
+        from mfm_tpu import cli
+
+        with pytest.raises(SystemExit, match="unknown config field"):
+            cli.main(["--example", "4-mode", "--set", "not_a_field=1"])
+
+    @pytest.mark.slow
     def test_smc_smoke(self, tmp_path, capsys):
         from mfm_tpu import cli
 
