@@ -81,6 +81,58 @@ def bench_mfm_4mode(n_iter=300):
     }
 
 
+def bench_chain_scaling(n_steps=1000):
+    """Chain-count scaling of ensemble MALA on one chip (phi-four d=64):
+    throughput should grow superlinearly-to-linearly until the MXU/VPU
+    saturates — the ensemble-batched design's headroom beyond the
+    reference's 1024 chains."""
+    from mfm_tpu.kernels import mala
+    from mfm_tpu.targets import PhiFour
+
+    target = PhiFour(64)
+    vs = lambda x: target.value_and_score(x)
+    kernel = mala.build_kernel(vs)
+    key = jax.random.PRNGKey(0)
+    out = {}
+    for n_chain in (1024, 4096, 16384, 65536):
+        state = mala.init(target.init_positions(key, n_chain), vs)
+
+        @jax.jit
+        def run(state, key):
+            def body(s, k):
+                s, _ = kernel(k, s, 1e-4)
+                return s, None
+
+            return jax.lax.scan(body, state, jax.random.split(key, n_steps))[0]
+
+        t, _ = _time_it(run, state, key)
+        out[str(n_chain)] = round(n_chain * n_steps / t / 1e3, 1)  # K steps/s
+    return {"chain_steps_kps_by_n_chain": out}
+
+
+def bench_pines_move_quality(n_train=4000, n_eval=512, n_moves=50):
+    """Quality artifact: pines flow + IS + move correction KSD, so the
+    per-round bench records quality alongside speed."""
+    from mfm_tpu.cli import make_target
+    from mfm_tpu.config import preset
+    from mfm_tpu.diagnostics import stein_disc
+    from mfm_tpu.drivers import run_mfm, sample_flow_move
+
+    target = make_target("pines")
+    cfg = preset("pines", learning_iter=n_train, chunk_size=1000)
+    run = run_mfm(target, cfg)
+    moved, is_resampled, _ = sample_flow_move(
+        run, jax.random.PRNGKey(7), n_eval, target, n_moves=n_moves,
+        init_step=cfg.step_size,
+    )
+    stein = jax.jit(lambda x: stein_disc(x, target.score, tile=256)[0])
+    return {
+        "train_time_s": round(run.train_time, 2),
+        "ksd_u_is_resampled": float(stein(is_resampled)),
+        "ksd_u_move_corrected": float(stein(moved)),
+    }
+
+
 def bench_phi_four_mala(n_chain=1024, n_steps=2000):
     from mfm_tpu.kernels import mala
     from mfm_tpu.targets import PhiFour
@@ -216,6 +268,8 @@ def main():
         ("pines_mala", bench_pines_step),
         ("mfm_phi_four_steady", lambda: bench_mfm_steady(
             "phi-four", 300, mcmc_per_flow_steps=100.0)),
+        ("chain_scaling", bench_chain_scaling),
+        ("pines_move_quality", bench_pines_move_quality),
     ]:
         try:
             details[name] = fn()

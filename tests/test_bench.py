@@ -26,7 +26,8 @@ class TestBench:
         sys.path.insert(0, ".")
         import bench
 
-        # run main with the tiny benches monkeypatched in
+        # run main with the tiny benches monkeypatched in (the real detail
+        # benches run at benchmark sizes — hours on the 1-core CPU host)
         monkeypatch.setattr(bench, "bench_mfm_4mode", lambda: {
             "steps_per_sec_scan": 100.0, "steps_per_sec_host_loop": 10.0,
             "speedup": 10.0,
@@ -34,6 +35,20 @@ class TestBench:
         monkeypatch.setattr(bench, "bench_phi_four_mala", lambda: {"chain_steps_per_sec": 1.0})
         monkeypatch.setattr(bench, "bench_pines_step", lambda: {"chain_steps_per_sec": 1.0})
         monkeypatch.setattr(bench, "bench_mfm_example", lambda *a, **k: {"iters_per_sec": 1.0})
+        monkeypatch.setattr(
+            bench, "bench_mfm_steady",
+            lambda *a, **k: {"iters_per_sec_median": 50.0,
+                             "iters_per_sec_runs": [50.0]},
+        )
+        monkeypatch.setattr(
+            bench, "bench_chain_scaling",
+            lambda: {"chain_steps_kps_by_n_chain": {"1024": 1.0}},
+        )
+        monkeypatch.setattr(
+            bench, "bench_pines_move_quality",
+            lambda: {"train_time_s": 1.0, "ksd_u_is_resampled": 1.0,
+                     "ksd_u_move_corrected": 0.1},
+        )
         monkeypatch.chdir(tmp_path)
         bench.main()
         first_line = capsys.readouterr().out.strip().splitlines()[0]
