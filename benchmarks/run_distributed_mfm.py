@@ -36,44 +36,23 @@ def worker(args):
 
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from mfm_tpu.config import MFMConfig
-    from mfm_tpu.drivers.mfm import build_mfm
-    from mfm_tpu.parallel import make_mesh, replicate, shard_chains
+    from mfm_tpu.drivers import run_mfm
     from mfm_tpu.targets import four_mode_mixture
 
+    # the ordinary driver, pointed at a mesh covering every process's
+    # devices: run_mfm shards the chain carry over the global mesh and the
+    # rest of the loop is the same single-program scan on each controller
     n_dev = len(jax.devices())
-    mesh = make_mesh((n_dev,), ("chains",))
     target = four_mode_mixture()
     cfg = MFMConfig(
         example="4-mode", dim=2, num_chain=max(4 * n_dev, 16),
         learning_iter=args.learning_iter, chunk_size=args.learning_iter,
         hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,), fourier_dim=8,
-        ode_steps=4, mcmc_per_flow_steps=2.0,
+        ode_steps=4, mcmc_per_flow_steps=2.0, mesh_shape=(1, n_dev),
     )
-    key = jax.random.PRNGKey(0)  # same key on all processes -> same program
-    step_fn, init_fn, *_ = build_mfm(target, cfg, key)
-
-    # every process computes the identical initial carry, then places it on
-    # the GLOBAL mesh: chain states sharded across all processes' devices,
-    # train state + tempering level replicated
-    carry = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
-    carry = carry._replace(
-        chain=shard_chains(carry.chain, mesh),
-        train=replicate(carry.train, mesh),
-        beta=replicate(carry.beta, mesh),
-    )
-
-    @jax.jit
-    def run_chunk(carry, keys, counts):
-        return lax.scan(step_fn, carry, (keys, counts))
-
-    keys = jax.random.split(jax.random.PRNGKey(1), cfg.learning_iter)
-    counts = jnp.arange(1, cfg.learning_iter + 1)
-    with mesh:
-        carry, metrics = run_chunk(carry, keys, counts)
-        jax.block_until_ready(carry.train.params)
+    run = run_mfm(target, cfg, key=jax.random.PRNGKey(0))
 
     # metrics are replicated -> identical and addressable on every process
     print(
@@ -83,10 +62,10 @@ def worker(args):
                 "global_devices": n_dev,
                 "local_devices": len(jax.local_devices()),
                 "num_chain_global": cfg.num_chain,
-                "final_loss": round(float(metrics["loss"][-1]), 4),
-                "final_beta": float(carry.beta),
+                "final_loss": round(float(run.metrics["loss"][-1]), 4),
+                "final_beta": float(run.beta),
                 "mean_acceptance": round(
-                    float(jnp.nanmean(metrics["acceptance_mean"])), 4
+                    float(jnp.nanmean(run.metrics["acceptance_mean"])), 4
                 ),
             }
         ),

@@ -18,6 +18,7 @@ Other deliberate redesigns:
   replicated and gradients reduce automatically under jit.
 """
 
+import dataclasses
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -398,8 +399,19 @@ def run_mfm(
             lambda params: loss_fn(params, key_probe_loss, probe_samples)
         )
 
-    # resume from the latest checkpoint when one exists
+    # resume from the latest checkpoint when one exists. Checkpointing
+    # device_gets the carry, which requires fully-addressable arrays —
+    # under a multi-controller (multi-process) mesh the chain shards live
+    # on other hosts, so checkpointing is per-run disabled there.
     done = 0
+    if cfg.checkpoint_dir is not None and jax.process_count() > 1:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "checkpointing disabled: carry is not fully addressable under "
+            "a multi-process mesh"
+        )
+        cfg = dataclasses.replace(cfg, checkpoint_dir=None)
     if cfg.checkpoint_dir is not None:
         from mfm_tpu.utils.checkpoint import restore_checkpoint
 
