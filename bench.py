@@ -239,7 +239,9 @@ def main():
     try:
         with open("benchmarks/reference_pines_cpu.json") as fh:
             ref = json.load(fh)
-        ref_rate = ref.get("steady_iters_per_sec_estimate", ref_rate)
+        rate = ref.get("steady_iters_per_sec_estimate")
+        if isinstance(rate, (int, float)) and rate > 0:  # guard null/0
+            ref_rate = rate
         details["reference_baseline"] = {
             "steady_iters_per_sec": ref_rate,
             "wall_total": ref.get("wall_total"),

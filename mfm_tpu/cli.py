@@ -152,8 +152,11 @@ def run_seeds_vmapped(target, cfg, seeds, args):
             ),
         )
         transport = make_transport(
-            net.apply, divergence=cfg.divergence, n_steps=cfg.ode_steps,
+            net.apply, divergence=cfg.divergence,
+            n_steps=cfg.eval_ode_steps or cfg.ode_steps,
             method=cfg.ode_method,
+            num_probes=cfg.eval_hutchinson_probes,
+            probe_dist=cfg.eval_probe_dist,
         )
         params_i = jax.tree_util.tree_map(lambda p: p[i], sweep.params)
         fs, es, _ = sample_flow_parts(
@@ -241,23 +244,37 @@ def main(argv=None):
 
     overrides["mcmc_kernel"] = args.mcmc_kernel
     import ast
+    import dataclasses as _dc
 
     from mfm_tpu.config import MFMConfig as _Cfg
 
+    settable = {f.name for f in _dc.fields(_Cfg)}  # excludes read-only props
     for item in args.set:
-        key, _, raw = item.partition("=")
-        if not _ or not hasattr(_Cfg(), key):
+        key, eq, raw = item.partition("=")
+        if not eq or key not in settable:
             raise SystemExit(f"--set: unknown config field {key!r}")
-        try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            value = raw  # plain string (e.g. ref_dist=prior)
+        lowered = raw.strip().lower()
+        if lowered in ("true", "false"):  # shell-style booleans
+            value = lowered == "true"
+        elif lowered in ("none", "null"):
+            value = None
+        else:
+            try:
+                value = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                value = raw  # plain string (e.g. ref_dist=prior)
         overrides[key] = value
     cfg = preset(args.example, **overrides)
     target = make_target(args.example)
 
     seeds = [args.seed] if args.seed is not None else [i**10 for i in range(10)]
     rows, rows_exact = [], []
+    if args.vmap_seeds and args.move_correct:
+        raise SystemExit(
+            "--move-correct is not supported with --vmap-seeds "
+            "(the vmapped sweep evaluates per seed without the move kernel); "
+            "drop one of the two flags"
+        )
     if args.vmap_seeds and not args.do_smc:
         rows, rows_exact = run_seeds_vmapped(target, cfg, seeds, args)
     else:

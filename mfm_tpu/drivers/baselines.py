@@ -34,10 +34,14 @@ class BaselineResult(NamedTuple):
     extras: dict  # baseline-specific diagnostics (losses, acceptances, ...)
 
 
-def is_resample(key, flow_samples, log_target, log_flow):
+def is_resample(key, flow_samples, log_target, log_flow=None):
     """Self-normalized IS resampling in log space (shared with
-    drivers.mfm.sample_flow_parts; reference exponentiates, :197-199)."""
-    log_w = log_target - log_flow
+    drivers.mfm.sample_flow_parts; reference exponentiates, :197-199).
+
+    ``log_target`` is the raw log-weights when ``log_flow`` is None, or the
+    target log-density with ``log_flow`` subtracted otherwise — one
+    sanitization + resampling rule for every baseline."""
+    log_w = log_target if log_flow is None else log_target - log_flow
     log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
     idx = jax.random.categorical(key, log_w, shape=(flow_samples.shape[0],))
     return flow_samples[idx], log_w
@@ -197,12 +201,11 @@ def run_dds(
         config.model.tfinal, False,
     )
     # weights exp(-energy - terminal - stl): resample in log space
-    log_w = -(energy_cost + terminal + stl)
-    log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
-    idx = jax.random.categorical(
-        jax.random.PRNGKey(seed + 1), log_w, shape=(flow_samples.shape[0],)
+    exact, _ = is_resample(
+        jax.random.PRNGKey(seed + 1), flow_samples,
+        -(energy_cost + terminal + stl),
     )
-    return BaselineResult(flow_samples, flow_samples[idx], train_time, {})
+    return BaselineResult(flow_samples, exact, train_time, {})
 
 
 BASELINES: dict = {

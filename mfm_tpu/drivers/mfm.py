@@ -116,6 +116,10 @@ class MFMPieces(NamedTuple):
     ref_dist: Target
     loss_fn: Callable
     fourier: jax.Array
+    # the apply actually used by the transport (the fused Pallas kernel when
+    # cfg.pallas_field engaged; == apply_fn otherwise). Appended last so the
+    # positional layout above stays stable.
+    transport_apply: Callable = None
 
 
 def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
@@ -216,11 +220,17 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
         train = create_train_state(params, tx)
         return MFMCarry(chain, train, beta, *init_adaptation())
 
-    def update_adaptation(count, acc, position, da, wf, inv_mass):
+    def update_adaptation(acc, position, da, wf, inv_mass):
         """Dual-averaging step size on the ensemble-mean acceptance; Welford
         diagonal mass over pooled (iters x chains) positions, refreshed (and
         the step size re-anchored, Stan-window style) every
-        cfg.mass_refresh_every MCMC steps."""
+        cfg.mass_refresh_every MCMC steps.
+
+        The refresh counts MCMC steps through the Welford sample count (it
+        grows by num_chain per MCMC step) — NOT through the global step
+        counter, which only reaches this code on MCMC iterations and can
+        systematically miss every multiple of mass_refresh_every when the
+        flow/MCMC interleave period divides it."""
         from mfm_tpu.adaptation.window import (
             da_init,
             da_update,
@@ -234,7 +244,7 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
             da = da_update(da, mean_acc, target_acc)
         if adapt_mass:
             wf = welford_update_batch(wf, position)
-            refresh = (count % cfg.mass_refresh_every == 0) & (wf.count > 1.0)
+            refresh = wf.count >= cfg.mass_refresh_every * cfg.num_chain
             inv_mass = jnp.where(refresh, welford_variance(wf), inv_mass)
             wf = jax.tree_util.tree_map(
                 lambda cur, fresh: jnp.where(refresh, fresh, cur),
@@ -285,7 +295,7 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
         def do_mala(k):
             new, info = do_mcmc(k)
             new_da, new_wf, new_im = update_adaptation(
-                count, info.acceptance_rate, new.position, da, wf, inv_mass
+                info.acceptance_rate, new.position, da, wf, inv_mass
             )
             return new, info.acceptance_rate, new_da, new_wf, new_im
 
@@ -339,7 +349,10 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
             metrics["step_size"] = jnp.exp(da.log_step)
         return MFMCarry(chain, train, beta, da, wf, inv_mass), metrics
 
-    return MFMPieces(step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn, fourier)
+    return MFMPieces(
+        step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn, fourier,
+        transport_apply,
+    )
 
 
 def run_mfm(
@@ -473,7 +486,7 @@ def run_mfm(
         or cfg.eval_ode_steps is not None
     ):
         transport = make_transport(
-            apply_fn,
+            pieces.transport_apply or apply_fn,
             divergence=cfg.divergence,
             n_steps=cfg.eval_ode_steps or cfg.ode_steps,
             method=cfg.ode_method,

@@ -23,6 +23,41 @@ from typing import Optional, Sequence
 import numpy as np
 
 
+def force_cpu_devices(n_devices: int, collectives: Optional[str] = None):
+    """Force a virtual n-device CPU platform. Must run before any JAX
+    backend exists (this module is import-pure for exactly that reason).
+
+    The environment may preset an unusable accelerator platform
+    (JAX_PLATFORMS=axon over a tunnel), and the env var alone does not stop
+    its plugin from registering — the jax.config update is required too.
+    One shared implementation for __graft_entry__.dryrun_multichip and the
+    multi-process CPU demos (tests/conftest.py keeps its own copy so the
+    test bootstrap never depends on the package under test).
+    """
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+
+    for name, value in (
+        ("jax_platforms", "cpu"),
+        ("jax_num_cpu_devices", n_devices),
+    ):
+        try:
+            jax.config.update(name, value)
+        except Exception:  # older jax / backend already up — best effort
+            pass
+    if collectives is not None:
+        jax.config.update("jax_cpu_collectives_implementation", collectives)
+    return jax
+
+
 def initialize_distributed(
     coordinator_address: str,
     num_processes: int,
@@ -37,22 +72,10 @@ def initialize_distributed(
     and selects the gloo cross-process collectives backend. Must run before
     any JAX backend is initialized.
     """
-    import os
-
     if cpu_devices_per_process is not None:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags
-                + f" --xla_force_host_platform_device_count={cpu_devices_per_process}"
-            ).strip()
-        os.environ["JAX_PLATFORMS"] = "cpu"
-
-    import jax
-
-    if cpu_devices_per_process is not None:
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax = force_cpu_devices(cpu_devices_per_process, collectives="gloo")
+    else:
+        import jax
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

@@ -184,6 +184,35 @@ class TestMFMKernelChoice:
         acc = np.asarray(run.metrics["acceptance_mean"])
         assert 0.5 < np.nanmean(acc[-20:]) <= 1.0  # near the 0.8 target
 
+    def test_mass_refresh_fires_regardless_of_interleave(self):
+        """Regression: the mass refresh counts MCMC steps via the Welford
+        sample count — with mcmc_per_flow_steps=4 (period 5 divides any
+        round refresh number) the old count%N rule never fired."""
+        from mfm_tpu.drivers.mfm import build_mfm
+
+        target = four_mode_mixture()
+        cfg = _small_cfg(
+            mcmc_kernel="hmc", hmc_num_integration_steps=3,
+            mcmc_per_flow_steps=4.0, mass_refresh_every=10,
+            learning_iter=60, num_chain=32,
+        )
+        key = jax.random.PRNGKey(0)
+        step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+        carry = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
+
+        @jax.jit
+        def run(carry):
+            keys = jax.random.split(jax.random.PRNGKey(1), 60)
+            counts = jnp.arange(1, 61)
+            return jax.lax.scan(step_fn, carry, (keys, counts))[0]
+
+        final = run(carry)
+        # after >= 10 MCMC steps the inverse mass must have been refreshed
+        # away from the identity initialization
+        assert not np.allclose(np.asarray(final.inv_mass), 1.0)
+        # and the Welford accumulator was reset at the refresh boundary
+        assert float(final.wf.count) < 10 * cfg.num_chain
+
     def test_mala_keeps_fixed_step_by_default(self):
         """MALA preserves strict reference parity: no adaptation state, the
         configured step size is used verbatim."""
