@@ -57,6 +57,7 @@ class MFMConfig:
     mcmc_kernel: str = "mala"  # mala | hmc | nuts (reference hardcodes MALA)
     hmc_num_integration_steps: int = 10
     nuts_max_depth: int = 6
+    nuts_variant: str = "auto"  # auto | static | iterative (see kernels/nuts)
     # in-loop MCMC adaptation (new capability — replaces the reference's
     # hand-set per-target step_size table, multi_modal.py:55,92). None = auto:
     # on for hmc/nuts, off for mala (strict reference parity for MALA runs).

@@ -287,7 +287,9 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
         elif cfg.mcmc_kernel == "nuts":
             from mfm_tpu.kernels import nuts
 
-            mcmc = nuts.build_kernel(vs, cfg.nuts_max_depth)
+            mcmc = nuts.build_kernel(
+                vs, cfg.nuts_max_depth, variant=cfg.nuts_variant
+            )
             do_mcmc = lambda k: mcmc(k, chain, step_size, inv_mass)
         else:
             raise ValueError(f"unknown mcmc_kernel {cfg.mcmc_kernel!r}")
