@@ -211,18 +211,6 @@ def bench_mfm_steady(example: str, n_iter: int, repeats: int = 3, **overrides):
     }
 
 
-def bench_mfm_example(example: str, n_iter: int, **overrides):
-    """Steady-state MFM training throughput on a real benchmark config
-    (compile excluded by the driver's warm chunk)."""
-    from mfm_tpu.cli import make_target
-    from mfm_tpu.config import preset
-    from mfm_tpu.drivers import run_mfm
-
-    cfg = preset(example, learning_iter=n_iter, chunk_size=n_iter, **overrides)
-    run = run_mfm(make_target(example), cfg)
-    return {"iters_per_sec": n_iter / run.train_time}
-
-
 def main():
     import sys
 

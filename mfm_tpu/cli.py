@@ -216,6 +216,22 @@ def main(argv=None):
                         "pines d=1600: KSD-U 2813 -> 0.048 at N=100)")
     args = p.parse_args(argv)
 
+    non_mfm = [
+        flag for flag in ("do_smc", "do_fab", "do_flowmc", "do_dds")
+        if getattr(args, flag)
+    ]
+    if args.vmap_seeds and any(f != "do_smc" for f in non_mfm):
+        raise SystemExit(
+            "--vmap-seeds only applies to the MFM sampler; drop it or the "
+            f"baseline flag ({', '.join('--' + f.replace('_', '-') for f in non_mfm)})"
+        )
+    if args.move_correct and (non_mfm or args.vmap_seeds):
+        raise SystemExit(
+            "--move-correct applies only to the plain MFM run (the * "
+            "columns of baselines/SMC/vmapped sweeps are not move-"
+            "corrected); drop one of the conflicting flags"
+        )
+
     for flag, pkg in [("do_fab", "fabjax"), ("do_flowmc", "flowMC"), ("do_dds", "dds")]:
         if getattr(args, flag):
             try:
@@ -269,12 +285,6 @@ def main(argv=None):
 
     seeds = [args.seed] if args.seed is not None else [i**10 for i in range(10)]
     rows, rows_exact = [], []
-    if args.vmap_seeds and args.move_correct:
-        raise SystemExit(
-            "--move-correct is not supported with --vmap-seeds "
-            "(the vmapped sweep evaluates per seed without the move kernel); "
-            "drop one of the two flags"
-        )
     if args.vmap_seeds and not args.do_smc:
         rows, rows_exact = run_seeds_vmapped(target, cfg, seeds, args)
     else:

@@ -69,7 +69,7 @@ def run_flowmc(
 
     n_eval = n_eval or cfg.eval_iter * cfg.num_chain
     key = jax.random.PRNGKey(seed)
-    key_init, key_choice = jax.random.split(key)
+    key_init, key_choice, key_sampler = jax.random.split(key, 3)
 
     n_layers = len(cfg.hidden_x) + len(cfg.hidden_t) + 4
     model = MaskedCouplingRQSpline(
@@ -79,10 +79,19 @@ def run_flowmc(
         lambda x, data=None: target.log_prob(x), True,
         {"step_size": cfg.step_size},
     )
+    # flowMC's documented entry wants its own key set (reference
+    # exe_others.py:119,138); fall back to an independent child key so the
+    # sampler's stream never correlates with the init/resampling draws
+    try:
+        from flowMC.utils.PRNG_keys import initialize_rng_keys
+
+        sampler_keys = initialize_rng_keys(cfg.num_chain, seed=seed)
+    except ImportError:
+        sampler_keys = key_sampler
     steps = max(int(cfg.mcmc_per_flow_steps), 1)
     sampler = Sampler(
         cfg.dim,
-        key,
+        sampler_keys,
         jnp.zeros(cfg.dim),
         local_sampler,
         model,

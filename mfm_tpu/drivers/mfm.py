@@ -521,17 +521,17 @@ def sample_flow_parts(
 
     Returns (flow_samples, exact_samples, log_weights).
     """
+    from mfm_tpu.drivers.baselines import is_resample
+
     key_ref, key_hutch, key_choice = jax.random.split(key, 3)
     u = ref_dist.sample(key_ref, (n_samples,))
     flow_samples, logdet = transport.forward(params, u, key_hutch)
     logpdf = target.log_prob(flow_samples)
     log_q = ref_dist.log_prob(u) - logdet
-    log_w = logpdf - log_q
-    log_w = jnp.where(jnp.isnan(log_w), -jnp.inf, log_w)
-    # categorical resampling directly in log space (the reference
-    # exponentiates weights first, :458, which under/overflows in f32)
-    idx = jax.random.categorical(key_choice, log_w, shape=(n_samples,))
-    exact_samples = flow_samples[idx]
+    # log-space categorical resampling, one shared sanitization rule with
+    # the baseline adapters (the reference exponentiates weights first,
+    # :458, which under/overflows in f32)
+    exact_samples, log_w = is_resample(key_choice, flow_samples, logpdf, log_q)
     return flow_samples, exact_samples, log_w
 
 

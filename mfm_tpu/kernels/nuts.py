@@ -285,23 +285,12 @@ def build_kernel_iterative(
         )
 
     def popcount(n):
-        v = n
-        c = jnp.zeros_like(n)
-        for _ in range(32):
-            c = c + (v & 1)
-            v = v >> 1
-        return c
+        return lax.population_count(n)
 
     def trailing_ones(n):
-        v = n
-        c = jnp.zeros_like(n)
-        stopped = jnp.zeros_like(n, dtype=bool)
-        for _ in range(32):
-            bit = (v & 1).astype(bool)
-            c = jnp.where(~stopped & bit, c + 1, c)
-            stopped = stopped | ~bit
-            v = v >> 1
-        return c
+        # n & ~(n+1) isolates the trailing one-run (adding 1 carries
+        # through exactly the trailing ones)
+        return lax.population_count(n & ~(n + 1))
 
     def kernel(
         rng_key: jax.Array,

@@ -149,7 +149,10 @@ def _distributed_offset_resample(
         jnp.zeros((), jnp.int32),
         _ppermute_shift(carry_incl, axis, 1, size),
     )
-    return jnp.maximum(local_fill, carry_excl) - 1
+    # clamp to 0 for the measure-zero u == 0.0 draw, where grid[0] == 0.0
+    # leaves slot 0 unmarked (the single-device resampler clips the same
+    # boundary case to particle 0)
+    return jnp.maximum(jnp.maximum(local_fill, carry_excl) - 1, 0)
 
 
 def distributed_systematic(

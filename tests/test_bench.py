@@ -34,7 +34,6 @@ class TestBench:
         })
         monkeypatch.setattr(bench, "bench_phi_four_mala", lambda: {"chain_steps_per_sec": 1.0})
         monkeypatch.setattr(bench, "bench_pines_step", lambda: {"chain_steps_per_sec": 1.0})
-        monkeypatch.setattr(bench, "bench_mfm_example", lambda *a, **k: {"iters_per_sec": 1.0})
         monkeypatch.setattr(
             bench, "bench_mfm_steady",
             lambda *a, **k: {"iters_per_sec_median": 50.0,

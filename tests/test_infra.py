@@ -163,6 +163,18 @@ class TestCLI:
         with pytest.raises(SystemExit, match="unknown config field"):
             cli.main(["--example", "4-mode", "--set", "not_a_field=1"])
 
+    def test_conflicting_flags_rejected(self):
+        """Flag combinations that would silently produce the wrong sampler
+        must error out (code-review findings)."""
+        from mfm_tpu import cli
+
+        with pytest.raises(SystemExit, match="vmap-seeds only applies"):
+            cli.main(["--example", "4-mode", "--vmap-seeds", "--do-flowmc"])
+        with pytest.raises(SystemExit, match="move-correct applies only"):
+            cli.main(["--example", "4-mode", "--do-smc", "--move-correct", "5"])
+        with pytest.raises(SystemExit, match="move-correct applies only"):
+            cli.main(["--example", "4-mode", "--vmap-seeds", "--move-correct", "5"])
+
     @pytest.mark.slow
     def test_smc_smoke(self, tmp_path, capsys):
         from mfm_tpu import cli
