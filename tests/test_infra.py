@@ -163,6 +163,37 @@ class TestCLI:
         with pytest.raises(SystemExit, match="unknown config field"):
             cli.main(["--example", "4-mode", "--set", "not_a_field=1"])
 
+    def test_set_parses_shell_booleans(self):
+        """'false'/'true'/'none' must become Python values, not truthy
+        strings (code-review finding: --set hutchinson=false silently
+        ENABLED the feature before)."""
+        import mfm_tpu.cli as cli_mod
+        from mfm_tpu.config import MFMConfig
+
+        captured = {}
+
+        def fake_preset(example, **overrides):
+            captured.update(overrides)
+            raise SystemExit("stop-after-parse")
+
+        orig = cli_mod.preset
+        cli_mod.preset = fake_preset
+        try:
+            with pytest.raises(SystemExit, match="stop-after-parse"):
+                cli_mod.main([
+                    "--example", "4-mode",
+                    "--set", "hutchinson=false",
+                    "--set", "adapt_step_size=TRUE",
+                    "--set", "eval_ode_steps=none",
+                    "--set", "ref_dist=prior",
+                ])
+        finally:
+            cli_mod.preset = orig
+        assert captured["hutchinson"] is False
+        assert captured["adapt_step_size"] is True
+        assert captured["eval_ode_steps"] is None
+        assert captured["ref_dist"] == "prior"
+
     def test_conflicting_flags_rejected(self):
         """Flag combinations that would silently produce the wrong sampler
         must error out (code-review findings)."""
