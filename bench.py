@@ -21,6 +21,7 @@ chain-steps/sec/chip, phi-four/4-mode MFM rates) go to BENCH_DETAILS.json.
 """
 
 import json
+import os
 import statistics
 import time
 
@@ -262,8 +263,13 @@ def main():
         ("mfm_phi_four_steady", lambda: bench_mfm_steady(
             "phi-four", 300, mcmc_per_flow_steps=100.0)),
         ("chain_scaling", bench_chain_scaling),
-        ("pines_move_quality", bench_pines_move_quality),
-    ]:
+    ] + (
+        # a 4000-iteration pines training run: hours on the 1-core CPU host,
+        # so opt-in only (BENCH_QUALITY=1 python bench.py)
+        [("pines_move_quality", bench_pines_move_quality)]
+        if os.environ.get("BENCH_QUALITY")
+        else []
+    ):
         try:
             details[name] = fn()
         except Exception as e:  # secondary benches must not kill the headline

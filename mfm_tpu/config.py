@@ -27,7 +27,9 @@ class MFMConfig:
     grad_clip_score: float = 1.0  # applied to the score gate when dim > 128
     # fused weight-resident Pallas apply for the CNF transport (mid-size
     # fields whose weights fit VMEM; relu/tanh). Falls back to XLA when the
-    # guard fails. See ops/field_pallas.py.
+    # guard fails, or when field_precision != 'highest' (the kernel computes
+    # in exact f32, which would diverge from a bf16-trained field). See
+    # ops/field_pallas.py.
     pallas_field: bool = False
 
     # flow matching (reference multi_modal.py:155-167)
@@ -114,6 +116,11 @@ class MFMConfig:
         acceptance defaults: 0.8 (hmc/nuts, Stan), 0.574 (MALA optimal)."""
         grad_traj = self.mcmc_kernel in ("hmc", "nuts")
         astep = grad_traj if self.adapt_step_size is None else self.adapt_step_size
+        if self.adapt_mass and not grad_traj:
+            raise ValueError(
+                "adapt_mass=True requires a trajectory kernel (hmc/nuts); "
+                f"mcmc_kernel={self.mcmc_kernel!r} has no mass matrix"
+            )
         amass = (
             (grad_traj and astep) if self.adapt_mass is None else self.adapt_mass
         )

@@ -157,7 +157,15 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
     if cfg.pallas_field:
         from mfm_tpu.ops.field_pallas import fits_in_vmem, make_pallas_field_apply
 
-        if cfg.non_linearity in ("relu", "tanh") and fits_in_vmem(params):
+        # the Pallas kernel always computes in exact f32; engaging it under a
+        # bf16 training field (field_precision='default') would make the
+        # transport sample a different function than the one trained, so the
+        # fused path requires 'highest'
+        if (
+            cfg.field_precision == "highest"
+            and cfg.non_linearity in ("relu", "tanh")
+            and fits_in_vmem(params)
+        ):
             transport_apply = make_pallas_field_apply(
                 params, fourier, cfg.non_linearity,
                 score_fn=target.score, score_clip=cfg.score_clip,
@@ -577,12 +585,17 @@ def sample_flow_move(
 
     vs = target.value_and_score
     kernel = mala.build_kernel(vs)
+    # continuous adaptation breaks detailed balance, so the chain is split
+    # into a warmup half (dual-averaging live) and a sampling half run at the
+    # frozen averaged step size exp(log_step_avg) — only the frozen half's
+    # endpoint is returned, so the final kernel is exactly target-invariant
+    n_warm = n_moves // 2
 
     @jax.jit
     def run_moves(positions, key):
         state = mala.init(positions, vs)
 
-        def body(carry, k):
+        def warm_body(carry, k):
             state, da = carry
             new_state, info = kernel(k, state, jnp.exp(da.log_step))
             da = da_update(
@@ -592,11 +605,17 @@ def sample_flow_move(
             )
             return (new_state, da), None
 
-        (state, _), _ = lax.scan(
-            body,
-            (state, da_init(init_step)),
-            jax.random.split(key, n_moves),
+        keys = jax.random.split(key, n_moves)
+        (state, da), _ = lax.scan(
+            warm_body, (state, da_init(init_step)), keys[:n_warm]
         )
+        frozen_step = jnp.exp(da.log_step_avg)
+
+        def frozen_body(state, k):
+            new_state, _ = kernel(k, state, frozen_step)
+            return new_state, None
+
+        state, _ = lax.scan(frozen_body, state, keys[n_warm:])
         return state.position
 
     moved = run_moves(exact_s, key_moves)

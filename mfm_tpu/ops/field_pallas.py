@@ -88,7 +88,7 @@ def split_params(params: dict):
 
 def fits_in_vmem(params: dict) -> bool:
     leaves = jax.tree_util.tree_leaves(params)
-    nbytes = sum(math.prod(l.shape) * 4 for l in leaves)
+    nbytes = sum(math.prod(l.shape) * l.dtype.itemsize for l in leaves)
     return nbytes <= VMEM_WEIGHT_BUDGET
 
 
