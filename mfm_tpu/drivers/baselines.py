@@ -131,21 +131,34 @@ def run_fab(
     config_path: str = "configs/fab",
 ) -> BaselineResult:
     """FAB: flow annealed importance-sampling bootstrap
-    (reference exe_others.py:42-76; per-target hydra YAMLs :49-59)."""
+    (reference exe_others.py:42-76; per-target hydra YAMLs :49-59, ported to
+    configs/fab/ with the same group layout)."""
+    import os
+
     from fabjax.train.generic_training_loop import train
     from experiments.setup_training import (
         setup_fab_config,
         setup_general_train_config,
     )
-    from hydra import compose, initialize
+    from hydra import compose, initialize_config_dir
 
     config_name = {
-        "pines": "cox.yaml",
-        "4-mode": "funnel.yaml",
-        "phi-four": "many_well.yaml",
-        "gaussian-mixture": "gmm_v0.yaml",
+        "pines": "cox",
+        "4-mode": "funnel",
+        "phi-four": "many_well",
+        "gaussian-mixture": "gmm_v0",
     }[cfg.example]
-    with initialize(version_base=None, config_path=config_path, job_name="fab"):
+    # resolve relative to the repo root (hydra's plain ``initialize`` treats
+    # config_path as relative to the *calling module*, which would point
+    # inside the package — initialize_config_dir takes an absolute dir)
+    if not os.path.isabs(config_path):
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        config_path = os.path.join(repo_root, config_path)
+    with initialize_config_dir(
+        version_base=None, config_dir=config_path, job_name="fab"
+    ):
         fab_cfg = compose(config_name=config_name)
     fab_cfg.training.seed = seed
     fab_cfg.flow.conditioner_mlp_units = list(cfg.hidden_xt)

@@ -154,3 +154,282 @@ class TestStubFlowMC:
             "--learning-iter", "8", "--num-chain", "16",
             "--run-dir", str(tmp_path),
         ])
+
+
+class _DotDict(dict):
+    """Attribute-access dict standing in for an OmegaConf node."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+
+def _to_dot(obj):
+    if isinstance(obj, dict):
+        return _DotDict({k: _to_dot(v) for k, v in obj.items()})
+    return obj
+
+
+def _mini_compose(config_dir, config_name):
+    """Defaults-list composition over a real on-disk hydra config tree —
+    enough of hydra's semantics (group files merged in defaults order,
+    ``_self_`` placement, deep per-key merge) to prove configs/fab/
+    composes. The ``hydra`` group configures hydra itself and is dropped
+    from the composed config, as real hydra does."""
+    import os
+
+    import yaml
+
+    def load(path):
+        with open(path) as fh:
+            return yaml.safe_load(fh) or {}
+
+    def deep_merge(base, over):
+        out = dict(base)
+        for k, v in over.items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = deep_merge(out[k], v)
+            else:
+                out[k] = v
+        return out
+
+    raw = load(os.path.join(config_dir, config_name + ".yaml"))
+    defaults = raw.pop("defaults", ["_self_"])
+    merged = {}
+    saw_self = False
+    for entry in defaults:
+        if entry == "_self_":
+            merged = deep_merge(merged, raw)
+            saw_self = True
+            continue
+        ((group, name),) = entry.items()
+        if group == "hydra":
+            continue
+        group_cfg = load(os.path.join(config_dir, group, name + ".yaml"))
+        merged = deep_merge(merged, {group: group_cfg})
+    if not saw_self:
+        merged = deep_merge(merged, raw)
+    return _to_dot(merged)
+
+
+def _install_stub_fab(monkeypatch, dim, seen):
+    """Fake fabjax/experiments/hydra API surface; the hydra stub composes
+    the REAL configs/fab tree so the test validates those files."""
+
+    class FakeFlow:
+        def sample_and_log_prob_apply(self, params, key, shape):
+            x = jax.random.normal(key, shape + (dim,))
+            return x, -0.5 * jnp.sum(x * x, -1)
+
+    class FakeFabConfig:
+        def __init__(self, cfg, target):
+            self.cfg = cfg
+            self.target = target
+            self.flow = FakeFlow()
+
+    class FakeState:
+        flow_params = {}
+
+    class _InitCtx:
+        def __init__(self, version_base=None, config_dir=None, job_name=None):
+            seen["config_dir"] = config_dir
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def compose(config_name):
+        cfg = _mini_compose(seen["config_dir"], config_name)
+        seen["composed"] = cfg
+        return cfg
+
+    def setup_fab_config(fab_cfg, target):
+        seen["final_cfg"] = fab_cfg
+        return FakeFabConfig(fab_cfg, target)
+
+    mods = {
+        "hydra": types.ModuleType("hydra"),
+        "fabjax": types.ModuleType("fabjax"),
+        "fabjax.train": types.ModuleType("fabjax.train"),
+        "fabjax.train.generic_training_loop": types.ModuleType(
+            "fabjax.train.generic_training_loop"
+        ),
+        "experiments": types.ModuleType("experiments"),
+        "experiments.setup_training": types.ModuleType(
+            "experiments.setup_training"
+        ),
+    }
+    mods["hydra"].compose = compose
+    mods["hydra"].initialize_config_dir = _InitCtx
+    mods["fabjax.train.generic_training_loop"].train = lambda tc: (None, FakeState())
+    mods["experiments.setup_training"].setup_fab_config = setup_fab_config
+    mods["experiments.setup_training"].setup_general_train_config = lambda fc: fc
+    for name, mod in mods.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+class TestStubFAB:
+    def test_adapter_end_to_end(self, monkeypatch, key):
+        """run_fab must compose configs/fab/funnel.yaml (group defaults +
+        per-target overrides), push the run's dims into it, and produce a
+        well-formed BaselineResult (reference exe_others.py:42-76)."""
+        target = four_mode_mixture()
+        cfg = MFMConfig(
+            example="4-mode", dim=2, num_chain=16, learning_iter=8, eval_iter=4
+        )
+        seen = {}
+        _install_stub_fab(monkeypatch, cfg.dim, seen)
+        result = run_baseline("fab", target, cfg, seed=3)
+        assert isinstance(result, BaselineResult)
+        n_eval = cfg.eval_iter * cfg.num_chain
+        assert result.flow_samples.shape == (n_eval, cfg.dim)
+        assert result.exact_samples.shape == (n_eval, cfg.dim)
+
+        # the hydra path resolved to the repo's config tree
+        assert seen["config_dir"].endswith("configs/fab")
+        composed = seen["composed"]
+        # per-target overrides (configs/fab/funnel.yaml)
+        assert composed.flow.n_layers == 4
+        assert composed.flow.transform_type == "spline"
+        assert composed.flow.spline_max == 16.0
+        assert composed.fab.smc.n_intermediate_distributions == 4
+        # group defaults that the per-target file does NOT touch must
+        # survive the merge (configs/fab/{flow,fab,training}/default.yaml)
+        assert composed.flow.spline_num_bins == 8
+        assert composed.fab.buffer.buffer_max_length_in_batches == 400
+        assert composed.fab.smc.hmc.n_inner_steps == 5
+        assert composed.training.optimizer.peak_lr == 2e-4
+        # adapter-applied runtime mutations (reference exe_others.py:60-63)
+        final = seen["final_cfg"]
+        assert final.training.seed == 3
+        assert final.training.n_epoch == cfg.learning_iter
+        assert final.training.batch_size == cfg.num_chain
+        assert final.flow.conditioner_mlp_units == list(cfg.hidden_xt)
+
+    @pytest.mark.parametrize(
+        "example,expects",
+        [
+            ("pines", {("target", "num_grid_per_dim"): 40,
+                       ("flow", "conditioner_mlp_units"): [512, 512],
+                       ("fab", "smc", "n_intermediate_distributions"): 10}),
+            ("phi-four", {("target", "dim"): 64,
+                          ("flow", "n_layers"): 8,
+                          ("training", "n_epoch"): 10000}),
+            ("gaussian-mixture", {("flow", "n_layers"): 4,
+                                  ("training", "batch_size"): 128}),
+        ],
+    )
+    def test_per_target_configs_compose(self, example, expects):
+        """Every per-target YAML the adapter can reach composes and carries
+        its reference-prescribed values (config/{cox,many_well,gmm_v0}.yaml)."""
+        import os
+
+        name = {"pines": "cox", "phi-four": "many_well",
+                "gaussian-mixture": "gmm_v0"}[example]
+        config_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "fab",
+        )
+        composed = _mini_compose(config_dir, name)
+        for path, want in expects.items():
+            node = composed
+            for part in path:
+                node = getattr(node, part)
+            assert node == want, (path, node, want)
+
+    def test_gmm_v1_variant_composes(self):
+        import os
+
+        config_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "configs", "fab",
+        )
+        composed = _mini_compose(config_dir, "gmm_v1")
+        assert composed.fab.smc.transition_operator == "metropolis"
+        assert composed.fab.smc.metropolis.tune_step_size is False
+        assert composed.flow.act_norm is True
+
+
+def _install_stub_dds(monkeypatch, dim, n_eval, seen):
+    """Fake dds API surface (reference exe_others.py:247-299): a config
+    object with nested attribute blocks, set_task, and train_dds returning
+    the augmented-state tensor the adapter slices weights out of."""
+
+    class _NS(types.SimpleNamespace):
+        pass
+
+    def get_config():
+        c = _NS(model=_NS(), trainer=_NS(), eval=_NS())
+        c.model.sigma = 1.0
+        c.model.tfinal = 6.4
+        c.model.terminal_cost = lambda x, lnpi, sigma, tfinal, _: (
+            -lnpi(x) * 0.0 + 0.5 * jnp.sum(x * x, -1) * sigma / tfinal
+        )
+        return c
+
+    def set_task(config, task):
+        seen["task"] = task
+        return config
+
+    def train_dds(config):
+        seen["config"] = config
+        n = config.eval.seeds
+        key = jax.random.PRNGKey(config.trainer.random_seed)
+        x = jax.random.normal(key, (n, 3, dim))
+        stl = jnp.zeros((n, 3, 1))
+        energy = 0.5 * jnp.sum(x * x, -1, keepdims=True)
+        aug = jnp.concatenate([x, stl, energy], -1)
+        return (0.123, {"aug": aug})
+
+    mods = {
+        "dds": types.ModuleType("dds"),
+        "dds.configs": types.ModuleType("dds.configs"),
+        "dds.configs.config": types.ModuleType("dds.configs.config"),
+        "dds.train_dds": types.ModuleType("dds.train_dds"),
+    }
+    mods["dds.configs.config"].get_config = get_config
+    mods["dds.configs.config"].set_task = set_task
+    mods["dds.train_dds"].train_dds = train_dds
+    for name, mod in mods.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+
+
+class TestStubDDS:
+    def test_adapter_end_to_end(self, monkeypatch, key):
+        target = four_mode_mixture()
+        cfg = MFMConfig(
+            example="4-mode", dim=2, num_chain=16, learning_iter=8, eval_iter=4
+        )
+        n_eval = cfg.eval_iter * cfg.num_chain
+        seen = {}
+        _install_stub_dds(monkeypatch, cfg.dim, n_eval, seen)
+        result = run_baseline("dds", target, cfg, seed=0)
+        assert isinstance(result, BaselineResult)
+        assert result.flow_samples.shape == (n_eval, cfg.dim)
+        assert result.exact_samples.shape == (n_eval, cfg.dim)
+        assert result.train_time == 0.123
+        # adapter wiring (reference exe_others.py:250-276)
+        assert seen["task"] == "mixture_well"
+        c = seen["config"]
+        assert c.model.reference_process_key == "oudstl"
+        assert c.model.step_scheme_key == "cos_sq"
+        assert c.model.input_dim == cfg.dim
+        assert c.trainer.epochs == cfg.learning_iter
+        assert c.model.batch_size == cfg.num_chain
+        assert c.eval.seeds == n_eval
+
+        # samples must feed the shared comparison-row evaluation
+        from mfm_tpu.drivers import evaluate_samples
+
+        real = target.sample(key, (n_eval,))
+        m = evaluate_samples(
+            target, result.flow_samples, result.exact_samples, real
+        )
+        assert np.isfinite(m["logpdf"]) and np.isfinite(m["stein_u"])
