@@ -1,9 +1,25 @@
 """Adaptive tempered SMC baseline driver.
 
 Parity with the reference SMC baseline (/root/reference/exe_others.py:79-111):
-adaptive-tempered SMC with an ensemble MALA inner kernel and systematic
+adaptive-tempered SMC with an ensemble inner kernel and systematic
 resampling, the whole run scanned on device, followed by a sample-harvest
 phase of ``eval_iter`` further steps.
+
+Beyond the reference (which hardcodes a fixed-step MALA inner kernel,
+exe_others.py:85-94): the inner kernel is selectable (``cfg.mcmc_kernel``:
+mala | hmc | nuts) and can self-tune in the loop —
+
+- **step size** by dual averaging on the ensemble-mean inner acceptance,
+  carried across tempering steps (the tempered posterior changes slowly in
+  lambda, so the previous temperature's step size is the right warm start);
+- **inverse mass** (hmc/nuts) from the per-temperature particle variance —
+  SMC holds N equally-weighted-ish draws of pi_lambda at every step, so the
+  diagonal posterior scale is available for free each temperature, no
+  Welford window needed (contrast drivers/mfm.py:244-258).
+
+Defaults keep strict reference parity: MALA at fixed cfg.step_size.
+Adaptation resolves through cfg.resolved_adaptation() — on for hmc/nuts,
+opt-in for MALA (--set adapt_step_size=true).
 """
 
 import time
@@ -25,6 +41,39 @@ class SMCRunResult(NamedTuple):
     train_time: float
 
 
+def _make_kernel_builder(cfg: MFMConfig):
+    """mcmc_kernel_builder(vs, (step_size, inv_mass)) for the tempered
+    kernel's pass-through (smc/tempered.py)."""
+    if cfg.mcmc_kernel == "mala":
+
+        def builder(vs, params):
+            step_size, _ = params
+            k = mala.build_kernel(vs)
+            return lambda key, s: k(key, s, step_size)
+
+    elif cfg.mcmc_kernel == "hmc":
+        from mfm_tpu.kernels import hmc
+
+        def builder(vs, params):
+            step_size, inv_mass = params
+            k = hmc.build_kernel(vs)
+            return lambda key, s: k(
+                key, s, step_size, cfg.hmc_num_integration_steps, inv_mass
+            )
+
+    elif cfg.mcmc_kernel == "nuts":
+        from mfm_tpu.kernels import nuts
+
+        def builder(vs, params):
+            step_size, inv_mass = params
+            k = nuts.build_kernel(vs, cfg.nuts_max_depth, variant=cfg.nuts_variant)
+            return lambda key, s: k(key, s, step_size, inv_mass)
+
+    else:
+        raise ValueError(f"unknown mcmc_kernel {cfg.mcmc_kernel!r}")
+    return builder
+
+
 def run_smc(
     target: Target,
     cfg: MFMConfig,
@@ -35,11 +84,12 @@ def run_smc(
         key = jax.random.PRNGKey(cfg.seed)
     key_init, key_run, key_harvest = jax.random.split(key, 3)
 
+    adapt_step, adapt_mass, target_acc = cfg.resolved_adaptation()
+    builder = _make_kernel_builder(cfg)
+
     algo = adaptive_tempered_smc(
         target,
-        mcmc_kernel_builder=lambda vs: (
-            lambda k, s: mala.build_kernel(vs)(k, s, cfg.step_size)
-        ),
+        mcmc_kernel_builder=builder,
         mcmc_init=mala.init,
         resample_fn=get_resampler(resampler),
         target_ess=cfg.alpha,
@@ -49,39 +99,59 @@ def run_smc(
     init_positions = target.init_positions(key_init, cfg.num_chain)
     state = algo.init(init_positions)
 
+    from mfm_tpu.adaptation.window import da_init, da_update
+
+    def mcmc_params_of(da, inv_mass, particles):
+        step_size = jnp.exp(da.log_step) if adapt_step else cfg.step_size
+        if adapt_mass:
+            # per-temperature posterior scale straight off the particle block
+            inv_mass = jnp.maximum(jnp.var(particles, axis=0), 1e-6)
+        return (step_size, inv_mass), inv_mass
+
+    def adapted_step(carry, k):
+        state, da, inv_mass = carry
+        params, inv_mass = mcmc_params_of(da, inv_mass, state.particles)
+        state, info = algo.step(k, state, params)
+        # update_info stacks the inner scan's (num_mcmc_steps, N) acceptance
+        mean_acc = jnp.nan_to_num(jnp.mean(info.update_info), nan=0.0)
+        da = da_update(da, mean_acc, target_acc)
+        return (state, da, inv_mass), info
+
+    carry0 = (state, da_init(cfg.step_size), jnp.ones(cfg.dim))
+
     @jax.jit
-    def run_phase(state, keys):
+    def run_phase(carry, keys):
         """Tempering phase: no particle history is materialized."""
 
-        def body(carry, k):
-            state, logz = carry
-            state, info = algo.step(k, state)
-            return (state, logz + info.log_likelihood_increment), None
+        def body(c, k):
+            carry, logz = c
+            carry, info = adapted_step(carry, k)
+            return (carry, logz + info.log_likelihood_increment), None
 
-        return jax.lax.scan(body, (state, jnp.zeros(())), keys)[0]
+        return jax.lax.scan(body, (carry, jnp.zeros(())), keys)[0]
 
     @jax.jit
-    def harvest_phase(state, keys):
+    def harvest_phase(carry, keys):
         """Sample harvest: keep per-step particles (exe_others.py:108-111)."""
 
-        def body(state, k):
-            state, _ = algo.step(k, state)
-            return state, state.particles
+        def body(carry, k):
+            carry, _ = adapted_step(carry, k)
+            return carry, carry[0].particles
 
-        return jax.lax.scan(body, state, keys)
+        return jax.lax.scan(body, carry, keys)
 
     # entire tempering run is one on-device scan (the reference jits the
     # step but already scans, exe_others.py:96-104); warm-compile first so
     # train_time is steady-state
     run_keys = jax.random.split(key_run, cfg.learning_iter)
-    warm = run_phase(state, run_keys)
+    warm = run_phase(carry0, run_keys)
     jax.block_until_ready(warm)
     start = time.time()
-    state, log_z = run_phase(state, run_keys)
-    jax.block_until_ready(state)
+    carry, log_z = run_phase(carry0, run_keys)
+    jax.block_until_ready(carry)
     train_time = time.time() - start
 
     harvest_keys = jax.random.split(key_harvest, cfg.eval_iter)
-    _, particle_hist = harvest_phase(state, harvest_keys)
+    _, particle_hist = harvest_phase(carry, harvest_keys)
     samples = particle_hist.reshape(-1, cfg.dim)
-    return SMCRunResult(samples, state.lmbda, log_z, train_time)
+    return SMCRunResult(samples, carry[0].lmbda, log_z, train_time)

@@ -24,17 +24,19 @@ def build_kernel(
     target_ess: float,
     num_mcmc_steps: int = 10,
     root_solver: Callable = solvers.dichotomy,
+    gather_fn=None,
 ) -> Callable:
     tempered_kernel = tempered.build_kernel(
-        target, mcmc_kernel_builder, mcmc_init, resample_fn, num_mcmc_steps
+        target, mcmc_kernel_builder, mcmc_init, resample_fn, num_mcmc_steps,
+        gather_fn,
     )
 
-    def kernel(rng_key, state: tempered.TemperedSMCState):
+    def kernel(rng_key, state: tempered.TemperedSMCState, mcmc_params=None):
         max_delta = 1.0 - state.lmbda
         loglik = target.log_lik(state.particles)
         delta = smc_ess.ess_solver(loglik, target_ess, max_delta, root_solver)
         delta = jnp.clip(jnp.nan_to_num(delta), 0.0, max_delta)
-        return tempered_kernel(rng_key, state, state.lmbda + delta)
+        return tempered_kernel(rng_key, state, state.lmbda + delta, mcmc_params)
 
     return kernel
 
@@ -47,6 +49,7 @@ def adaptive_tempered_smc(
     target_ess: float,
     num_mcmc_steps: int = 10,
     root_solver: Callable = solvers.dichotomy,
+    gather_fn=None,
 ) -> SamplingAlgorithm:
     kernel = build_kernel(
         target,
@@ -56,5 +59,6 @@ def adaptive_tempered_smc(
         target_ess,
         num_mcmc_steps,
         root_solver,
+        gather_fn,
     )
     return SamplingAlgorithm(tempered.init, kernel)

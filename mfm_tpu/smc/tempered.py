@@ -37,15 +37,22 @@ def build_kernel(
     mcmc_init: Callable,
     resample_fn: Callable,
     num_mcmc_steps: int = 10,
+    gather_fn=None,
 ) -> Callable:
     """Build the tempered SMC kernel.
 
     mcmc_kernel_builder(value_and_score) -> ensemble kernel
         kernel(key, chain_state) -> (chain_state, info)
     mcmc_init(positions, value_and_score) -> chain_state
+
+    When the per-step call supplies ``mcmc_params`` (any pytree — e.g.
+    a traced (step_size, inverse_mass) tuple from an in-loop adaptation
+    carry), the builder is called as ``mcmc_kernel_builder(vs, mcmc_params)``
+    so kernel hyperparameters can change across tempering steps without
+    retracing (drivers/smc_run.py uses this for dual averaging).
     """
 
-    def kernel(rng_key: jax.Array, state: TemperedSMCState, lmbda):
+    def kernel(rng_key: jax.Array, state: TemperedSMCState, lmbda, mcmc_params=None):
         delta = lmbda - state.lmbda
 
         # batched value-and-grad of the tempered posterior at the *current*
@@ -55,7 +62,10 @@ def build_kernel(
             single = lambda xi: target.log_prior(xi) + state.lmbda * target.log_lik(xi)
             return jax.vmap(jax.value_and_grad(single))(x)
 
-        inner = mcmc_kernel_builder(vs)
+        if mcmc_params is None:
+            inner = mcmc_kernel_builder(vs)
+        else:
+            inner = mcmc_kernel_builder(vs, mcmc_params)
 
         def update_fn(key, particles):
             chain = mcmc_init(particles, vs)
@@ -77,6 +87,7 @@ def build_kernel(
             update_fn,
             weigh_fn,
             resample_fn,
+            gather_fn=gather_fn,
         )
         new_state = TemperedSMCState(
             smc_state.particles, smc_state.weights, state.lmbda + delta
@@ -92,12 +103,14 @@ def tempered_smc(
     mcmc_init: Callable,
     resample_fn: Callable,
     num_mcmc_steps: int = 10,
+    gather_fn=None,
 ) -> SamplingAlgorithm:
     kernel = build_kernel(
-        target, mcmc_kernel_builder, mcmc_init, resample_fn, num_mcmc_steps
+        target, mcmc_kernel_builder, mcmc_init, resample_fn, num_mcmc_steps,
+        gather_fn,
     )
 
-    def step_fn(rng_key, state, lmbda):
-        return kernel(rng_key, state, lmbda)
+    def step_fn(rng_key, state, lmbda, mcmc_params=None):
+        return kernel(rng_key, state, lmbda, mcmc_params)
 
     return SamplingAlgorithm(init, step_fn)

@@ -163,3 +163,69 @@ class TestAdaptiveTemperedSMC:
             weights=np.asarray(state.weights),
         )
         np.testing.assert_allclose(var, tgt.posterior_var, rtol=0.15)
+
+
+class TestSMCDriverKernels:
+    """drivers/smc_run with selectable inner kernels + in-loop adaptation
+    (beyond the reference's fixed-step MALA, exe_others.py:85-94)."""
+
+    def _run(self, kernel, **overrides):
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers.smc_run import run_smc
+        from mfm_tpu.targets import four_mode_mixture
+
+        base = dict(
+            example="4-mode", dim=2, num_chain=128, learning_iter=25,
+            eval_iter=4, step_size=0.2, alpha=0.9, mcmc_kernel=kernel,
+            anneal_iter=200, num_anneal_temp=100,  # 2 inner steps per temp
+        )
+        base.update(overrides)
+        cfg = MFMConfig(**base)
+        target = four_mode_mixture()
+        return run_smc(target, cfg, key=jax.random.PRNGKey(0)), target
+
+    @pytest.mark.parametrize("kernel", ["hmc", "nuts"])
+    def test_trajectory_kernels_reach_target(self, kernel):
+        """NUTS/HMC inner kernels need no hand-tuned step size: adaptation
+        is on by default and the run reaches lambda=1 with samples whose
+        first two moments match the 4-mode mixture's."""
+        extra = {"nuts_max_depth": 4} if kernel == "nuts" else {}
+        result, target = self._run(kernel, **extra)
+        assert float(result.lmbda) == 1.0
+        samples = np.asarray(result.particles)
+        assert np.isfinite(samples).all()
+        # 4-mode mixture: symmetric modes at (+-a, +-a) -> mean ~ 0, and
+        # per-coordinate second moment a^2 + 1 (mode offset a = 8)
+        real = np.asarray(target.sample(jax.random.PRNGKey(1), (4096,)))
+        np.testing.assert_allclose(
+            samples.mean(0), real.mean(0), atol=1.5
+        )
+        np.testing.assert_allclose(
+            (samples**2).mean(0), (real**2).mean(0), rtol=0.25
+        )
+
+    def test_mala_default_is_fixed_step(self):
+        """Reference parity: the default MALA path never adapts — two runs
+        with different init step sizes differ, but the same config is
+        deterministic."""
+        r1, _ = self._run("mala")
+        r2, _ = self._run("mala")
+        np.testing.assert_array_equal(
+            np.asarray(r1.particles), np.asarray(r2.particles)
+        )
+
+    def test_mala_opt_in_adaptation(self):
+        """--set adapt_step_size=true turns on dual averaging for MALA; a
+        deliberately bad init step still produces a healthy run."""
+        result, target = self._run(
+            "mala", step_size=10.0, adapt_step_size=True
+        )
+        assert float(result.lmbda) == 1.0
+        samples = np.asarray(result.particles)
+        assert np.isfinite(samples).all()
+        # a 10.0 step on a unit-scale mixture would accept ~nothing; the
+        # adapted run must still traverse to good moments
+        real = np.asarray(target.sample(jax.random.PRNGKey(1), (4096,)))
+        np.testing.assert_allclose(
+            (samples**2).mean(0), (real**2).mean(0), rtol=0.35
+        )
