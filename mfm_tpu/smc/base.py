@@ -37,12 +37,18 @@ def step(
     weigh_fn: Callable,
     resample_fn: Callable,
     num_resampled: Optional[int] = None,
+    gather_fn: Optional[Callable] = None,
 ):
     """One Feynman-Kac step.
 
     update_fn(key, particles) -> (new_particles, info)   [ensemble move M_t]
     weigh_fn(particles)       -> (N,) log-weights        [potential G_t]
     resample_fn(key, weights, n) -> ancestor indices
+    gather_fn(particles, ancestors) -> resampled particles; defaults to
+        ``jnp.take``. Under a sharded mesh pass
+        ``smc.distributed.make_distributed_gather`` so the post-resample
+        exchange runs as a ppermute ring instead of an XLA all-gather of
+        the particle matrix.
     """
     key_update, key_resample = jax.random.split(rng_key)
     n = state.weights.shape[0]
@@ -50,7 +56,10 @@ def step(
         num_resampled = n
 
     ancestors = resample_fn(key_resample, state.weights, num_resampled)
-    particles = jnp.take(state.particles, ancestors, axis=0)
+    if gather_fn is None:
+        particles = jnp.take(state.particles, ancestors, axis=0)
+    else:
+        particles = gather_fn(state.particles, ancestors)
     particles, update_info = update_fn(key_update, particles)
 
     log_weights = weigh_fn(particles)

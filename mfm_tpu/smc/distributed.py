@@ -215,3 +215,72 @@ def make_distributed_resampler(
         return fn(rng_key, weights, num_samples, mesh, axis)
 
     return resample
+
+
+def _ring_exchange_body(particles, ancestors, axis: str, size: int):
+    """shard_map body: ``particles`` is this shard's (n_local, d) pre-
+    resample block, ``ancestors`` this shard's (m_local,) slice of global
+    ancestor ids; returns the (m_local, d) resampled block.
+
+    The blocks travel once around the ring (S-1 ``ppermute`` steps); at
+    each step every shard copies the rows whose global ids live in the
+    block currently passing through. Peak memory is 2 blocks of
+    (N/S, d) — the plain ``jnp.take`` path lets XLA all-gather the full
+    (N, d) matrix to every device first.
+    """
+    n_local, _ = particles.shape
+    shard = lax.axis_index(axis)
+    out = jnp.zeros((ancestors.shape[0], particles.shape[1]), particles.dtype)
+    block = particles
+    for r in range(size):
+        src = (shard - r) % size  # original owner of the block in hand
+        local_idx = jnp.clip(ancestors - src * n_local, 0, n_local - 1)
+        rows = jnp.take(block, local_idx, axis=0)
+        mine = (ancestors // n_local) == src
+        out = jnp.where(mine[:, None], rows, out)
+        if r < size - 1:
+            block = lax.ppermute(
+                block, axis, [(i, (i + 1) % size) for i in range(size)]
+            )
+    return out
+
+
+def distributed_take(
+    particles: jax.Array,
+    ancestors: jax.Array,
+    mesh: Mesh,
+    axis: str = "chains",
+) -> jax.Array:
+    """Post-resample particle exchange ``particles[ancestors]`` as a
+    shard_map ppermute ring (VERDICT r2 item 3 / ROADMAP item 2).
+
+    ``particles`` (N, d) and ``ancestors`` (M,) are both sharded over
+    ``axis``; the result is the (M, d) resampled matrix, sharded the same
+    way, with no all-gather of the particle matrix in the compiled HLO.
+    Exact: elementwise equal to ``jnp.take(particles, ancestors, 0)``.
+    """
+    size = mesh.shape[axis]
+    if particles.shape[0] % size or ancestors.shape[0] % size:
+        raise ValueError(
+            f"particles ({particles.shape[0]}) and ancestors "
+            f"({ancestors.shape[0]}) must divide the '{axis}' mesh axis "
+            f"size {size}"
+        )
+    body = functools.partial(_ring_exchange_body, axis=axis, size=size)
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(particles, ancestors)
+
+
+def make_distributed_gather(mesh: Mesh, axis: str = "chains") -> Callable:
+    """gather_fn(particles, ancestors) for smc.base.step's gather hook."""
+
+    def gather(particles, ancestors):
+        return distributed_take(particles, ancestors, mesh, axis)
+
+    return gather
