@@ -17,6 +17,7 @@ import argparse
 import logging
 
 import jax
+import jax.numpy as jnp
 
 from mfm_tpu.config import preset
 from mfm_tpu.drivers import evaluate_samples, run_mfm, run_smc, sample_flow
@@ -89,6 +90,27 @@ def run_one(target, cfg, args):
                 init_step=cfg.step_size,
             )
             flow_samples, exact_samples = is_resampled, moved
+        elif getattr(args, "flow_smc", 0):
+            # row 1 = raw flow push-forward, row 2 (* columns) = the
+            # flow-annealed SMC ensemble (drivers.flow_smc), resampled by
+            # its final weights when lambda stopped short of 1
+            from mfm_tpu.drivers.flow_smc import run_flow_smc
+
+            key_smc, key_pick = jax.random.split(key_eval)
+            flow_samples, _, _ = sample_flow(run, key_eval, n_eval, target)
+            r = run_flow_smc(
+                target, cfg, run.transport, run.train.params, run.ref_dist,
+                key=key_smc, n_particles=n_eval, n_steps=args.flow_smc,
+            )
+            idx = jax.random.categorical(
+                key_pick, jnp.log(r.weights), shape=(n_eval,)
+            )
+            exact_samples = r.samples[idx]
+            log.log({
+                "flow_smc_log_z": float(r.log_z),
+                "flow_smc_lmbda": float(r.lmbda),
+                "flow_smc_ess_fraction": float(r.ess_fraction),
+            })
         else:
             flow_samples, exact_samples, _ = sample_flow(
                 run, key_eval, n_eval, target
@@ -214,6 +236,11 @@ def main(argv=None):
                    help="after IS resampling, run N self-tuning MALA moves on "
                         "the exact target (repairs IS degeneracy at high dim; "
                         "pines d=1600: KSD-U 2813 -> 0.048 at N=100)")
+    p.add_argument("--flow-smc", type=int, default=0, metavar="N",
+                   help="replace the final IS correction with N adaptive "
+                        "flow-annealed SMC steps in the flow's latent space "
+                        "(* columns become the annealed weighted ensemble; "
+                        "also logs the log-normalizer estimate)")
     args = p.parse_args(argv)
 
     non_mfm = [
@@ -230,6 +257,12 @@ def main(argv=None):
             "--move-correct applies only to the plain MFM run (the * "
             "columns of baselines/SMC/vmapped sweeps are not move-"
             "corrected); drop one of the conflicting flags"
+        )
+    if args.flow_smc and (non_mfm or args.vmap_seeds or args.move_correct):
+        raise SystemExit(
+            "--flow-smc applies only to the plain MFM run and replaces the "
+            "final correction; drop the conflicting flag "
+            "(baseline/--vmap-seeds/--move-correct)"
         )
 
     for flag, pkg in [("do_fab", "fabjax"), ("do_flowmc", "flowMC"), ("do_dds", "dds")]:

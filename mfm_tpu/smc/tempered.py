@@ -57,10 +57,12 @@ def build_kernel(
 
         # batched value-and-grad of the tempered posterior at the *current*
         # lambda (the MCMC moves target pi_{lambda_prev}; reweighing bridges
-        # to lambda, reference tempered.py:122-128)
+        # to lambda, reference tempered.py:122-128). Delegates to the target,
+        # which may provide an analytic/fused batched path (LGCP's
+        # precision-GEMM score; the flow-pullback target's single-ODE-solve
+        # value-and-grad) instead of the default vmapped autodiff.
         def vs(x):
-            single = lambda xi: target.log_prior(xi) + state.lmbda * target.log_lik(xi)
-            return jax.vmap(jax.value_and_grad(single))(x)
+            return target.tempered_value_and_score(x, state.lmbda)
 
         if mcmc_params is None:
             inner = mcmc_kernel_builder(vs)
