@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--mcmc-steps", type=int, default=5)
     ap.add_argument("--learning-iter", type=int, default=10_000)
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="adaptive-tempering ESS target (default: preset 0.95; "
+                         "0.8 takes ~3x bigger lambda increments)")
     ap.add_argument("--out", default="RESULTS_raw_pines_flow_smc.json")
     args = ap.parse_args()
 
@@ -54,6 +57,8 @@ def main():
         # latent-space MALA needs a tuned step; let dual averaging find it
         adapt_step_size=True,
     )
+    if args.alpha is not None:
+        cfg.alpha = args.alpha
     target = make_target("pines")
 
     t0 = time.time()
@@ -65,6 +70,7 @@ def main():
         "config": {
             "particles": args.particles, "steps": args.steps,
             "mcmc_steps": args.mcmc_steps, "learning_iter": args.learning_iter,
+            "alpha": cfg.alpha,
         },
         "train_time": train_time,
         "seeds": [],
