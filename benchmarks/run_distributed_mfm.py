@@ -24,6 +24,27 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _digest(tree):
+    """SHA-256 over every locally-addressable shard of the pytree, in a
+    deterministic shard order — two multi-process runs bit-match iff each
+    process's digest matches."""
+    import hashlib
+
+    import jax
+    import numpy as np
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "addressable_shards"):
+            for s in sorted(
+                leaf.addressable_shards, key=lambda s: repr(s.index)
+            ):
+                h.update(np.asarray(s.data).tobytes())
+        else:
+            h.update(np.asarray(leaf).tobytes())
+    return h.hexdigest()
+
+
 def worker(args):
     from mfm_tpu.parallel.distributed import initialize_distributed
 
@@ -46,11 +67,14 @@ def worker(args):
     # rest of the loop is the same single-program scan on each controller
     n_dev = len(jax.devices())
     target = four_mode_mixture()
+    chunk = args.chunk_size or args.learning_iter
     cfg = MFMConfig(
         example="4-mode", dim=2, num_chain=max(4 * n_dev, 16),
-        learning_iter=args.learning_iter, chunk_size=args.learning_iter,
+        learning_iter=args.learning_iter, chunk_size=chunk,
         hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,), fourier_dim=8,
         ode_steps=4, mcmc_per_flow_steps=2.0, mesh_shape=(1, n_dev),
+        checkpoint_dir=args.checkpoint_dir or None,
+        checkpoint_every_chunks=1 if args.checkpoint_dir else 0,
     )
     run = run_mfm(target, cfg, key=jax.random.PRNGKey(0))
 
@@ -66,6 +90,11 @@ def worker(args):
                 "final_beta": float(run.beta),
                 "mean_acceptance": round(
                     float(jnp.nanmean(run.metrics["acceptance_mean"])), 4
+                ),
+                # bit-match fingerprint of the final sharded state (chain
+                # ensemble + flow params + tempering level), local shards
+                "state_digest": _digest(
+                    (run.chain.position, run.train.params, run.beta)
                 ),
             }
         ),
@@ -83,7 +112,10 @@ def launch(args):
             "--coordinator", args.coordinator,
             "--cpu-devices", str(args.cpu_devices),
             "--learning-iter", str(args.learning_iter),
+            "--chunk-size", str(args.chunk_size),
         ]
+        if args.checkpoint_dir:
+            cmd += ["--checkpoint-dir", args.checkpoint_dir]
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
     rc = 0
     for p in procs:
@@ -100,6 +132,11 @@ def main():
     p.add_argument("--coordinator", default="localhost:13099")
     p.add_argument("--cpu-devices", type=int, default=2)
     p.add_argument("--learning-iter", type=int, default=20)
+    p.add_argument("--chunk-size", type=int, default=0,
+                   help="scan chunk length (0 = one chunk for the whole run)")
+    p.add_argument("--checkpoint-dir", default="",
+                   help="orbax checkpoint dir; enables save-per-chunk and "
+                        "resume-from-latest (sharded, multi-process)")
     args = p.parse_args()
     if args.process_id is None:
         launch(args)

@@ -18,7 +18,6 @@ Other deliberate redesigns:
   replicated and gradients reduce automatically under jit.
 """
 
-import dataclasses
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -422,19 +421,11 @@ def run_mfm(
             lambda params: loss_fn(params, key_probe_loss, probe_samples)
         )
 
-    # resume from the latest checkpoint when one exists. Checkpointing
-    # device_gets the carry, which requires fully-addressable arrays —
-    # under a multi-controller (multi-process) mesh the chain shards live
-    # on other hosts, so checkpointing is per-run disabled there.
+    # resume from the latest checkpoint when one exists. The carry is
+    # saved/restored sharded (utils/checkpoint.py handles multi-process
+    # orbax), so this works under a multi-controller mesh too: every
+    # process reaches these collective calls on the same chunk schedule.
     done = 0
-    if cfg.checkpoint_dir is not None and jax.process_count() > 1:
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "checkpointing disabled: carry is not fully addressable under "
-            "a multi-process mesh"
-        )
-        cfg = dataclasses.replace(cfg, checkpoint_dir=None)
     if cfg.checkpoint_dir is not None:
         from mfm_tpu.utils.checkpoint import restore_checkpoint
 
@@ -480,7 +471,7 @@ def run_mfm(
         ):
             from mfm_tpu.utils.checkpoint import save_checkpoint
 
-            save_checkpoint(cfg.checkpoint_dir, done, jax.device_get(carry))
+            save_checkpoint(cfg.checkpoint_dir, done, carry)
     jax.block_until_ready(carry)
     train_time = time.time() - train_start
 

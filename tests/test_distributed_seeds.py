@@ -107,3 +107,51 @@ class TestTwoProcessRun:
         assert by_pid[0]["aggregate_ci95"] == by_pid[1]["aggregate_ci95"]
         # the two processes ran DIFFERENT seeds
         assert by_pid[0]["local_seeds"] != by_pid[1]["local_seeds"]
+
+
+@pytest.mark.slow
+class TestMultiProcessCheckpointResume:
+    def test_resume_bit_matches_uninterrupted(self, tmp_path):
+        """VERDICT r2 item 5: orbax checkpoints of the SHARDED carry under a
+        2-process mesh. Run A trains 16 iters checkpointing every 4-step
+        chunk; deleting the checkpoints past step 8 simulates a mid-run
+        kill; run B restores at 8 and continues. Every process's final
+        state digest (local shards of chain + params + beta) must equal
+        run A's — the resumed trajectory is bit-identical."""
+        import shutil
+
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        script = os.path.join(REPO, "benchmarks", "run_distributed_mfm.py")
+        ckpt = str(tmp_path / "ckpts")
+
+        def launch(port):
+            out = subprocess.run(
+                [
+                    sys.executable, script, "--learning-iter", "16",
+                    "--chunk-size", "4", "--checkpoint-dir", ckpt,
+                    "--coordinator", f"localhost:{port}",
+                ],
+                capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
+            )
+            lines = [
+                json.loads(line)
+                for line in out.stdout.splitlines()
+                if line.startswith("{")
+            ]
+            assert len(lines) == 2, out.stdout + out.stderr
+            return {rec["process_id"]: rec for rec in lines}
+
+        run_a = launch(13251)
+        steps = sorted(os.listdir(ckpt))
+        assert steps == [
+            "step_00000004", "step_00000008", "step_00000012", "step_00000016"
+        ], steps
+        for name in steps:
+            if int(name.split("_")[1]) > 8:
+                shutil.rmtree(os.path.join(ckpt, name))
+
+        run_b = launch(13253)
+        for pid in (0, 1):
+            assert run_a[pid]["state_digest"] == run_b[pid]["state_digest"], pid
+            assert run_a[pid]["final_beta"] == run_b[pid]["final_beta"]
