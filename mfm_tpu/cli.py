@@ -121,7 +121,10 @@ def run_one(target, cfg, args):
 
         log.summary(check_floor(target, real_samples))
 
-    metrics = evaluate_samples(target, flow_samples, exact_samples, real_samples)
+    metrics = evaluate_samples(
+        target, flow_samples, exact_samples, real_samples,
+        pallas_metrics=getattr(args, "pallas_metrics", False),
+    )
     metrics["train_time"] = train_time
     log.summary(metrics)
     log.finish()
@@ -236,6 +239,10 @@ def main(argv=None):
                    help="after IS resampling, run N self-tuning MALA moves on "
                         "the exact target (repairs IS degeneracy at high dim; "
                         "pines d=1600: KSD-U 2813 -> 0.048 at N=100)")
+    p.add_argument("--pallas-metrics", action="store_true",
+                   help="evaluate KSD/MMD with the fused Pallas pairwise "
+                        "kernels (2-5x faster at the 12.8k eval size on "
+                        "v5e; coarser f32 accumulation — see drivers/eval)")
     p.add_argument("--flow-smc", type=int, default=0, metavar="N",
                    help="replace the final IS correction with N adaptive "
                         "flow-annealed SMC steps in the flow's latent space "

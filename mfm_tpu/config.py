@@ -67,6 +67,13 @@ class MFMConfig:
     adapt_mass: Optional[bool] = None  # diagonal inverse mass (hmc/nuts only)
     da_target_acceptance: Optional[float] = None  # auto: 0.8 hmc/nuts, 0.574 mala
     mass_refresh_every: int = 100  # window length for Welford mass refreshes
+    # freeze in-loop adaptation after this fraction of learning_iter: the
+    # rest of the run uses the dual-averaged step size and the last mass
+    # estimate (continuous adaptation through the END of training left
+    # the final-window chain quality at the mercy of the last re-anchor —
+    # the round-2 NUTS seed-variance source; RESULTS.md round 3). 1.0
+    # reproduces the round-2 always-adapting behavior.
+    adapt_freeze_fraction: float = 0.6
     learning_iter: int = 400
     eval_iter: int = 100
 

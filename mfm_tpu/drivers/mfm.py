@@ -227,7 +227,11 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
         train = create_train_state(params, tx)
         return MFMCarry(chain, train, beta, *init_adaptation())
 
-    def update_adaptation(acc, position, da, wf, inv_mass):
+    # adaptation freezes after this iteration: step pinned to the averaged
+    # value, mass fixed (cfg.adapt_freeze_fraction; 1.0 = adapt throughout)
+    freeze_iter = int(cfg.adapt_freeze_fraction * cfg.learning_iter)
+
+    def update_adaptation(acc, position, da, wf, inv_mass, frozen):
         """Dual-averaging step size on the ensemble-mean acceptance; Welford
         diagonal mass over pooled (iters x chains) positions, refreshed (and
         the step size re-anchored, Stan-window style) every
@@ -248,10 +252,18 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
 
         if adapt_step:
             mean_acc = jnp.nan_to_num(jnp.mean(acc), nan=0.0)
-            da = da_update(da, mean_acc, target_acc)
+            da_new = da_update(da, mean_acc, target_acc)
+            da = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(frozen, old, new), da_new, da
+            )
         if adapt_mass:
-            wf = welford_update_batch(wf, position)
-            refresh = wf.count >= cfg.mass_refresh_every * cfg.num_chain
+            wf_new = welford_update_batch(wf, position)
+            wf = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(frozen, old, new), wf_new, wf
+            )
+            refresh = (
+                wf.count >= cfg.mass_refresh_every * cfg.num_chain
+            ) & ~frozen
             inv_mass = jnp.where(refresh, welford_variance(wf), inv_mass)
             wf = jax.tree_util.tree_map(
                 lambda cur, fresh: jnp.where(refresh, fresh, cur),
@@ -280,7 +292,12 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
             new, info = flow_kernel(k, chain, train_params, transport, tgt)
             return new, info.acceptance_rate, da, wf, inv_mass
 
-        step_size = jnp.exp(da.log_step) if adapt_step else cfg.step_size
+        frozen = count >= freeze_iter
+        step_size = (
+            jnp.exp(jnp.where(frozen, da.log_step_avg, da.log_step))
+            if adapt_step
+            else cfg.step_size
+        )
         if cfg.mcmc_kernel == "mala":
             mcmc = mala.build_kernel(vs)
             do_mcmc = lambda k: mcmc(k, chain, step_size)
@@ -304,7 +321,7 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
         def do_mala(k):
             new, info = do_mcmc(k)
             new_da, new_wf, new_im = update_adaptation(
-                info.acceptance_rate, new.position, da, wf, inv_mass
+                info.acceptance_rate, new.position, da, wf, inv_mass, frozen
             )
             return new, info.acceptance_rate, new_da, new_wf, new_im
 

@@ -32,18 +32,24 @@ def _phi4_kernel(x_ref, out_ref, *, a: float, beta: float, dim: int, pbc: bool,
     # on-site potential, fully in-register
     diffs = 1.0 - x * x
     v = jnp.sum(diffs * diffs, axis=1) / (4.0 * coef)
-    # coupling: interior differences
-    d1 = x[:, 1:] - x[:, :-1]
+    # coupling: interior differences. Column indices must be static
+    # non-negative — a Python -1 becomes a dynamic_slice, which the Mosaic
+    # TPU lowering rejects (interpret-mode tests never see this)
+    d1 = x[:, 1:dim] - x[:, 0 : dim - 1]
     grad_sq = jnp.sum(d1 * d1, axis=1)
     if pbc:
-        wrap = x[:, 0] - x[:, -1]
+        wrap = x[:, 0] - x[:, dim - 1]
         grad_sq = grad_sq + wrap * wrap
     else:  # dirichlet: boundary terms against the constant bc_value
         left = x[:, 0] - bc_value
-        right = bc_value - x[:, -1]
+        right = bc_value - x[:, dim - 1]
         grad_sq = grad_sq + left * left + right * right
     u = 0.5 * coef * grad_sq
-    out_ref[:] = -beta * (u + v)
+    # broadcast the per-row scalar across the narrow lane dim (see
+    # phi_four_log_lik: a flat (B,) output violates Mosaic's layout rules)
+    out_ref[:] = jnp.broadcast_to(
+        (-beta * (u + v))[:, None], (x.shape[0], out_ref.shape[1])
+    )
 
 
 @functools.partial(
@@ -67,12 +73,15 @@ def phi_four_log_lik(
     kernel = functools.partial(
         _phi4_kernel, a=a, beta=beta, dim=d, pbc=pbc, bc_value=bc_value
     )
+    # per-row scalars ride a (B, 8) output whose block satisfies Mosaic's
+    # (8, 128)-or-full-dim layout rule — a flat (B,) out_spec trips an
+    # XLA-vs-Mosaic tiling mismatch on real hardware (T(1024) vs T(256))
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((tile, d), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((tile,), lambda i: (i,)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * tile,), jnp.float32),
+        out_specs=pl.BlockSpec((tile, 8), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile, 8), jnp.float32),
         interpret=interpret or not _on_tpu(),
     )(xp)
-    return out[:B]
+    return out[:B, 0]
