@@ -66,17 +66,51 @@ def worker(args):
     # devices: run_mfm shards the chain carry over the global mesh and the
     # rest of the loop is the same single-program scan on each controller
     n_dev = len(jax.devices())
-    target = four_mode_mixture()
     chunk = args.chunk_size or args.learning_iter
-    cfg = MFMConfig(
-        example="4-mode", dim=2, num_chain=max(4 * n_dev, 16),
+    common = dict(
         learning_iter=args.learning_iter, chunk_size=chunk,
-        hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,), fourier_dim=8,
-        ode_steps=4, mcmc_per_flow_steps=2.0, mesh_shape=(1, n_dev),
+        mesh_shape=(1, n_dev),
         checkpoint_dir=args.checkpoint_dir or None,
         checkpoint_every_chunks=1 if args.checkpoint_dir else 0,
     )
-    run = run_mfm(target, cfg, key=jax.random.PRNGKey(0))
+    if args.example == "phi-four":
+        # the real benchmark config (d=64, 1024 chains) at a trimmed
+        # iteration count — VERDICT r2 item 9 promotes the demo past the
+        # 16-chain 4-mode toy
+        from mfm_tpu.targets import PhiFour
+
+        target = PhiFour(64)
+        cfg = MFMConfig(
+            example="phi-four", dim=64, num_chain=1024, step_size=1e-4,
+            mcmc_per_flow_steps=100.0, **common,
+        )
+    else:
+        target = four_mode_mixture()
+        cfg = MFMConfig(
+            example="4-mode", dim=2, num_chain=max(4 * n_dev, 16),
+            hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,), fourier_dim=8,
+            ode_steps=4, mcmc_per_flow_steps=2.0, **common,
+        )
+
+    class ChunkCollector:
+        """DCN-aware chunk logging demo: every controller COLLECTS (metrics
+        are replicated, so this is free), and cross-controller identity is
+        asserted via the digest below; persistent sinks stay primary-only
+        (utils.logging.MetricLogger default under process_count > 1)."""
+
+        def __init__(self):
+            self.chunks = []
+            self.times = []
+
+        def log(self, m):
+            # wall-clock differs per controller; keep it out of the
+            # identity digest but around for the throughput row
+            self.times.append(float(m.get("train_time", 0.0)))
+            self.chunks.append({k: round(float(v), 6) for k, v in m.items()
+                                if k not in ("train_time",)})
+
+    collector = ChunkCollector()
+    run = run_mfm(target, cfg, logger=collector, key=jax.random.PRNGKey(0))
 
     # metrics are replicated -> identical and addressable on every process
     print(
@@ -96,6 +130,19 @@ def worker(args):
                 "state_digest": _digest(
                     (run.chain.position, run.train.params, run.beta)
                 ),
+                # replicated per-chunk metrics must be identical on every
+                # controller — one digest to compare
+                "chunks_digest": __import__("hashlib").sha256(
+                    json.dumps(collector.chunks, sort_keys=True).encode()
+                ).hexdigest(),
+                "n_chunks": len(collector.chunks),
+                # steady rate excludes the first chunk (its wall time is
+                # in times[0]; times are cumulative since training start)
+                "steady_iters_per_sec": round(
+                    (cfg.learning_iter - chunk)
+                    / max(collector.times[-1] - collector.times[0], 1e-9),
+                    3,
+                ) if len(collector.times) > 1 else None,
             }
         ),
         flush=True,
@@ -113,6 +160,7 @@ def launch(args):
             "--cpu-devices", str(args.cpu_devices),
             "--learning-iter", str(args.learning_iter),
             "--chunk-size", str(args.chunk_size),
+            "--example", args.example,
         ]
         if args.checkpoint_dir:
             cmd += ["--checkpoint-dir", args.checkpoint_dir]
@@ -132,6 +180,7 @@ def main():
     p.add_argument("--coordinator", default="localhost:13099")
     p.add_argument("--cpu-devices", type=int, default=2)
     p.add_argument("--learning-iter", type=int, default=20)
+    p.add_argument("--example", default="4-mode", choices=["4-mode", "phi-four"])
     p.add_argument("--chunk-size", type=int, default=0,
                    help="scan chunk length (0 = one chunk for the whole run)")
     p.add_argument("--checkpoint-dir", default="",

@@ -32,17 +32,34 @@ class MetricLogger:
         stdout_every: int = 1,
         use_wandb: bool = False,
         wandb_kwargs: Optional[dict] = None,
+        primary_only: Optional[bool] = None,
     ):
+        """``primary_only`` (default: auto) makes non-zero processes of a
+        multi-controller run no-op: chunk metrics are replicated, so every
+        controller would otherwise write identical JSONL/wandb records —
+        N-fold duplication riding the DCN run. Pass False to force every
+        process to log (e.g. to assert cross-controller metric identity)."""
+        if primary_only is None:
+            import jax
+
+            primary_only = jax.process_count() > 1
+        self.enabled = True
+        if primary_only:
+            import jax
+
+            self.enabled = jax.process_index() == 0
         self.run_dir = run_dir
         self.run_name = run_name
         self.stdout_every = stdout_every
         self._n = 0
         self._fh = None
+        self._wandb = None
         self._t0 = time.time()
+        if not self.enabled:
+            return
         if run_dir is not None:
             os.makedirs(run_dir, exist_ok=True)
             self._fh = open(os.path.join(run_dir, f"{run_name}.jsonl"), "a")
-        self._wandb = None
         if use_wandb:
             try:
                 import wandb
@@ -53,6 +70,8 @@ class MetricLogger:
                 logger.warning("wandb requested but not installed; using JSONL only")
 
     def log(self, metrics: dict):
+        if not self.enabled:
+            return
         self._n += 1
         rec = {"_t": time.time() - self._t0, **metrics}
         if self._fh is not None:
@@ -68,6 +87,8 @@ class MetricLogger:
             logger.info("[%s] %s", self.run_name, parts)
 
     def summary(self, metrics: dict):
+        if not self.enabled:
+            return
         rec = {"_summary": True, **metrics}
         if self._fh is not None:
             self._fh.write(json.dumps(rec) + "\n")

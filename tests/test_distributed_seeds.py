@@ -155,3 +155,40 @@ class TestMultiProcessCheckpointResume:
         for pid in (0, 1):
             assert run_a[pid]["state_digest"] == run_b[pid]["state_digest"], pid
             assert run_a[pid]["final_beta"] == run_b[pid]["final_beta"]
+
+
+@pytest.mark.slow
+class TestMultiControllerPhiFour:
+    def test_phi_four_1024_chains(self):
+        """VERDICT r2 item 9: the multi-controller demo at the real
+        phi-four benchmark shape (d=64, 1024 global chains) — per-chunk
+        metrics must be identical across controllers (replicated outputs,
+        one digest), and a steady-rate throughput row comes out."""
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        script = os.path.join(REPO, "benchmarks", "run_distributed_mfm.py")
+        out = subprocess.run(
+            [
+                sys.executable, script, "--example", "phi-four",
+                "--learning-iter", "40", "--chunk-size", "20",
+                "--coordinator", "localhost:13353",
+            ],
+            capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
+        )
+        recs = [
+            json.loads(line)
+            for line in out.stdout.splitlines()
+            if line.startswith("{")
+        ]
+        assert len(recs) == 2, out.stdout + out.stderr
+        a, b = recs
+        assert a["num_chain_global"] == 1024
+        # replicated per-chunk metrics: bit-identical across controllers
+        assert a["chunks_digest"] == b["chunks_digest"]
+        assert a["n_chunks"] == b["n_chunks"] == 2
+        # sharded state: each controller holds DIFFERENT local shards
+        assert a["state_digest"] != b["state_digest"]
+        for rec in recs:
+            assert rec["steady_iters_per_sec"] is None or rec[
+                "steady_iters_per_sec"
+            ] > 0

@@ -82,6 +82,7 @@ class TestShardedMFMStep:
             float(m_ref2["loss"]), float(m_s2["loss"]), rtol=1e-4
         )
 
+    @pytest.mark.slow  # ~70 s; the driver also runs this check externally
     def test_graft_dryrun(self, devices):
         import sys, os
 

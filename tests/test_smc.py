@@ -175,7 +175,7 @@ class TestSMCDriverKernels:
         from mfm_tpu.targets import four_mode_mixture
 
         base = dict(
-            example="4-mode", dim=2, num_chain=128, learning_iter=25,
+            example="4-mode", dim=2, num_chain=128, learning_iter=14,
             eval_iter=4, step_size=0.2, alpha=0.9, mcmc_kernel=kernel,
             anneal_iter=200, num_anneal_temp=100,  # 2 inner steps per temp
         )
@@ -208,8 +208,8 @@ class TestSMCDriverKernels:
         """Reference parity: the default MALA path never adapts — two runs
         with different init step sizes differ, but the same config is
         deterministic."""
-        r1, _ = self._run("mala")
-        r2, _ = self._run("mala")
+        r1, _ = self._run("mala", learning_iter=8, eval_iter=2)
+        r2, _ = self._run("mala", learning_iter=8, eval_iter=2)
         np.testing.assert_array_equal(
             np.asarray(r1.particles), np.asarray(r2.particles)
         )
