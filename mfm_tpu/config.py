@@ -160,6 +160,12 @@ def preset(example: str, **overrides) -> MFMConfig:
         cfg.lim = (-1.6, 1.6)
         cfg.learning_iter = 10_000
         cfg.chunk_size = 1000
+        # bf16-multiply/f32-accumulate field: full 10k-iter run 11.0 s vs
+        # 26.2 s f32-exact with equal-or-better KSD (RESULTS.md round 3 —
+        # overturns the round-2 "11x slower" entry, which no longer
+        # reproduces; per-component dissection there). --set
+        # field_precision=highest restores exact-f32 matmuls.
+        cfg.field_precision = "default"
     elif example == "pines":
         cfg.dim = 1600
         cfg.num_chain = 128
