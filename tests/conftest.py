@@ -27,6 +27,15 @@ jax.config.update("jax_platforms", "cpu")
 # the framework pins HIGHEST explicitly on its accuracy-critical einsums.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite's wall-clock on the 1-core host
+# is dominated by XLA compiles (~180 tests x ~1-20 s each); caching them
+# across pytest sessions cuts repeat runs severalfold. Compiled artifacts
+# key on the HLO + flags, so stale hits are not a correctness risk.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh; a backend was initialized "
     f"before conftest could override the platform: {jax.devices()}"

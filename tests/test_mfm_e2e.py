@@ -213,6 +213,7 @@ class TestMFMKernelChoice:
         # and the Welford accumulator was reset at the refresh boundary
         assert float(final.wf.count) < 10 * cfg.num_chain
 
+    @pytest.mark.slow  # full driver run; the default itself is unit-tested
     def test_mala_keeps_fixed_step_by_default(self):
         """MALA preserves strict reference parity: no adaptation state, the
         configured step size is used verbatim."""

@@ -184,7 +184,10 @@ class TestSMCDriverKernels:
         target = four_mode_mixture()
         return run_smc(target, cfg, key=jax.random.PRNGKey(0)), target
 
-    @pytest.mark.parametrize("kernel", ["hmc", "nuts"])
+    @pytest.mark.parametrize(
+        "kernel",
+        ["hmc", pytest.param("nuts", marks=pytest.mark.slow)],  # nuts ~20 s
+    )
     def test_trajectory_kernels_reach_target(self, kernel):
         """NUTS/HMC inner kernels need no hand-tuned step size: adaptation
         is on by default and the run reaches lambda=1 with samples whose
@@ -204,6 +207,7 @@ class TestSMCDriverKernels:
             (samples**2).mean(0), (real**2).mean(0), rtol=0.25
         )
 
+    @pytest.mark.slow  # two full driver runs; determinism only
     def test_mala_default_is_fixed_step(self):
         """Reference parity: the default MALA path never adapts — two runs
         with different init step sizes differ, but the same config is
