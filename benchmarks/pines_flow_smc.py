@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--mcmc-steps", type=int, default=5)
     ap.add_argument("--learning-iter", type=int, default=10_000)
+    ap.add_argument("--inner", default=None,
+                    help="inner kernel: mala|hmc|nuts|tess (default cfg.mcmc_kernel)")
     ap.add_argument("--alpha", type=float, default=None,
                     help="adaptive-tempering ESS target (default: preset 0.95; "
                          "0.8 takes ~3x bigger lambda increments)")
@@ -70,7 +72,7 @@ def main():
         "config": {
             "particles": args.particles, "steps": args.steps,
             "mcmc_steps": args.mcmc_steps, "learning_iter": args.learning_iter,
-            "alpha": cfg.alpha,
+            "alpha": cfg.alpha, "inner": args.inner,
         },
         "train_time": train_time,
         "seeds": [],
@@ -98,6 +100,7 @@ def main():
             target, cfg, run.transport, run.train.params, run.ref_dist,
             key=jax.random.PRNGKey(1000 + seed), n_particles=args.particles,
             n_steps=args.steps, num_mcmc_steps=args.mcmc_steps,
+            inner_kernel=args.inner,
         )
         # KSD of the annealed ensemble (resampled by final weights)
         idx = jax.random.categorical(

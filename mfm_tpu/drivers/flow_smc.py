@@ -50,6 +50,105 @@ def ess_fraction_of(weights: jax.Array) -> jax.Array:
     return 1.0 / (jnp.sum(weights**2) * weights.shape[0])
 
 
+def _make_latent_tess_builder(ref_dist: Target, max_subiter: int = 30):
+    """Gradient-free, tuning-free inner moves: elliptical slice sampling on
+    the tempered latent target rho_lambda(u) ∝ q0(u) exp(lambda ell(u)).
+
+    The ellipse prior is q0 itself (any Gaussian with a sampler; ellipses
+    rotate about ``ref_dist.gaussian_mean`` / ``.mean`` / 0), and the slice
+    "likelihood" is lambda*ell(u) = log rho(u) - log q0(u) — recovered from
+    the tempered kernel's value function, so this plugs into the standard
+    ``mcmc_kernel_builder(vs, params)`` contract (smc/tempered.py) with the
+    (step_size, inv_mass) params simply unused. One batched transport
+    evaluation per shrinkage trip, whole-ensemble masked while_loop
+    (kernels/tess.py pattern; reference bblackjax/mcmc/tess.py:109-124).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mfm_tpu.kernels.base import ChainState
+
+    mean = getattr(ref_dist, "gaussian_mean", None)
+    if mean is None:
+        mean = getattr(ref_dist, "mean", 0.0)
+
+    def builder(vs, params):
+        del params  # step size / mass are meaningless for slice moves
+
+        def slice_l(u):
+            vals = vs(u)[0]
+            return vals - ref_dist.log_prob(u)  # = lambda * ell(u)
+
+        def kernel(rng_key, chain):
+            u0 = chain.position
+            B = u0.shape[0]
+            key_nu, key_y, key_theta, key_loop = jax.random.split(rng_key, 4)
+
+            nu = ref_dist.sample(key_nu, (B,))
+            log_y = slice_l(u0) + jnp.log(jax.random.uniform(key_y, (B,)))
+
+            def ellipse(theta):
+                c = jnp.cos(theta)[:, None]
+                s = jnp.sin(theta)[:, None]
+                return mean + (u0 - mean) * c + (nu - mean) * s
+
+            theta = 2.0 * jnp.pi * jax.random.uniform(key_theta, (B,))
+            tmin, tmax = theta - 2.0 * jnp.pi, theta
+            u = ellipse(theta)
+            s = slice_l(u)
+
+            def cond(carry):
+                it, *_, active = carry
+                return jnp.any(active) & (it < max_subiter)
+
+            def body(carry):
+                it, key, s, subiter, theta, tmin, tmax, u, active = carry
+                key, sub = jax.random.split(key)
+                prop = jax.random.uniform(sub, (B,), minval=tmin, maxval=tmax)
+                theta_new = jnp.where(active, prop, theta)
+                u_new = ellipse(theta_new)
+                s_new = slice_l(u_new)
+                u = jnp.where(active[:, None], u_new, u)
+                s = jnp.where(active, s_new, s)
+                theta = theta_new
+                tmin = jnp.where(active & (theta < 0), theta, tmin)
+                tmax = jnp.where(active & (theta > 0), theta, tmax)
+                subiter = subiter + active.astype(jnp.int32)
+                still = active & ((s <= log_y) | ~jnp.isfinite(s))
+                return (it + 1, key, s, subiter, theta, tmin, tmax, u, still)
+
+            active0 = (s <= log_y) | ~jnp.isfinite(s)
+            carry = (
+                0, key_loop, s, jnp.ones(B, jnp.int32), theta, tmin, tmax, u,
+                active0,
+            )
+            _, _, s, subiter, *_, u, _ = lax.while_loop(cond, body, carry)
+
+            new_chain = ChainState(
+                u, s + ref_dist.log_prob(u), jnp.zeros_like(u)
+            )
+            # slice sampling always moves; report mixing as 1/shrinkage-trips
+            info_acc = 1.0 / subiter.astype(u.dtype)
+            return new_chain, _TESSMoveInfo(info_acc, subiter)
+
+        return kernel
+
+    def init(positions, vs):
+        del vs  # no gradient cache needed
+        return ChainState(
+            positions,
+            jnp.zeros(positions.shape[0], positions.dtype),
+            jnp.zeros_like(positions),
+        )
+
+    return builder, init
+
+
+class _TESSMoveInfo(NamedTuple):
+    acceptance_rate: jax.Array  # (B,) 1/shrinkage-trips (mixing proxy)
+    subiter: jax.Array
+
+
 def run_flow_smc(
     target: Target,
     cfg: MFMConfig,
@@ -60,16 +159,25 @@ def run_flow_smc(
     n_particles: Optional[int] = None,
     n_steps: int = 30,
     num_mcmc_steps: Optional[int] = None,
+    inner_kernel: Optional[str] = None,
 ) -> FlowSMCResult:
     """Anneal q0 --T--> pi with ``n_steps`` adaptive tempering steps.
 
     Steps after lambda reaches 1 degrade gracefully into pure MCMC moves on
     the pullback of pi (Δλ = 0 ⇒ uniform incremental weights), so n_steps
     only needs to be an upper bound on the temperature count.
+
+    ``inner_kernel`` (default ``cfg.mcmc_kernel``): mala | hmc | nuts via
+    the SMC driver's builders, or ``tess`` — elliptical slice moves on the
+    tempered latent target, gradient-free AND tuning-free (no step size
+    to adapt; the natural latent-space choice since q0 is the ellipse
+    prior). Reference anchor: bblackjax/mcmc/tess.py, here applied to the
+    tempered pullback rather than the lambda=1 pullback.
     """
     from mfm_tpu.adaptation.window import da_init, da_update
     from mfm_tpu.drivers.smc_run import _make_kernel_builder
     from mfm_tpu.flows.pullback import FlowPullbackTarget
+    from mfm_tpu.kernels import mala
     from mfm_tpu.smc import tempered
 
     if key is None:
@@ -78,8 +186,16 @@ def run_flow_smc(
     n_mcmc = num_mcmc_steps or cfg.iter_per_temp
     key_init, key_run, key_push = jax.random.split(key, 3)
 
+    kernel_name = inner_kernel or cfg.mcmc_kernel
     adapt_step, adapt_mass, target_acc = cfg.resolved_adaptation()
-    builder = _make_kernel_builder(cfg)
+    if kernel_name == "tess":
+        builder, mcmc_init = _make_latent_tess_builder(ref_dist)
+        adapt_step = adapt_mass = False  # slice moves have nothing to tune
+    else:
+        import dataclasses as _dc
+
+        builder = _make_kernel_builder(_dc.replace(cfg, mcmc_kernel=kernel_name))
+        mcmc_init = mala.init
 
     u0 = ref_dist.sample(key_init, (n,))
     state0 = tempered.init(u0)
@@ -94,7 +210,7 @@ def run_flow_smc(
         algo = adaptive_tempered_smc(
             latent,
             mcmc_kernel_builder=builder,
-            mcmc_init=mala.init,
+            mcmc_init=mcmc_init,
             resample_fn=get_resampler("systematic"),
             target_ess=cfg.alpha,
             num_mcmc_steps=n_mcmc,

@@ -125,6 +125,13 @@ class PriorReference(Target):
         self.dim = target.dim
         self._target = target
 
+    @property
+    def gaussian_mean(self):
+        """Mean of the (Gaussian) prior, for elliptical-slice proposals
+        (drivers/flow_smc TESS inner kernel). Targets with a non-centered
+        Gaussian prior expose ``prior_gaussian_mean``."""
+        return getattr(self._target, "prior_gaussian_mean", 0.0)
+
     def log_lik(self, x):
         return self._target.log_prior(x)
 

@@ -110,6 +110,9 @@ class LogGaussianCoxPines(Target):
         prec64 = inv_chol64.T @ inv_chol64
 
         self._counts = jnp.asarray(counts64, dtype)
+        # Gaussian-prior mean for elliptical-slice proposals (whitened
+        # prior is centered; unwhitened is the constant mu_zero field)
+        self.prior_gaussian_mean = 0.0 if whitened else float(mu_zero)
         self._chol = jnp.asarray(chol64, dtype)
         self._prec = jnp.asarray(prec64, dtype)
         self._mu_zero = jnp.asarray(mu_zero, dtype)
