@@ -18,6 +18,7 @@ Other deliberate redesigns:
   replicated and gradients reduce automatically under jit.
 """
 
+import functools
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -417,7 +418,10 @@ def run_mfm(
             inv_mass=replicate(carry.inv_mass, mesh),
         )
 
-    @jax.jit
+    # the incoming carry is dead after each chunk: donating it lets XLA
+    # reuse the chain/optimizer buffers in place instead of allocating a
+    # fresh output set per chunk (HBM traffic + footprint)
+    @functools.partial(jax.jit, donate_argnums=0)
     def run_chunk(carry, keys, counts):
         return lax.scan(step_fn, carry, (keys, counts))
 
@@ -459,8 +463,13 @@ def run_mfm(
     jax.block_until_ready(carry)
     if done < n_iter:
         first = min(chunk, n_iter - done)
+        # warm on a copy: run_chunk donates its carry argument, and the
+        # real loop below must still start from the original state
+        warm_carry = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, carry
+        )
         warm = run_chunk(
-            carry, all_keys[done : done + first], counts[done : done + first]
+            warm_carry, all_keys[done : done + first], counts[done : done + first]
         )
         jax.block_until_ready(warm)  # populates the jit cache; result unused
     metrics_chunks = []
