@@ -111,6 +111,35 @@ def bench_chain_scaling(n_steps=1000):
     return {"chain_steps_kps_by_n_chain": out}
 
 
+def bench_pines_flow_smc(n_train=3000, n_particles=512, n_steps=32):
+    """Flow-annealed SMC detail row: train a short pines flow, anneal
+    q0 -> pi, report the log-normalizer + anneal completion + device time
+    (the round-3 weighted-sampler capability; full protocol in
+    benchmarks/pines_flow_smc.py, cross-validated logZ ~503.6 at 10k
+    training iters)."""
+    from mfm_tpu.cli import make_target
+    from mfm_tpu.config import preset
+    from mfm_tpu.drivers.flow_smc import run_flow_smc
+    from mfm_tpu.drivers.mfm import run_mfm
+
+    cfg = preset("pines", learning_iter=n_train, mcmc_per_flow_steps=100.0,
+                 adapt_step_size=True, alpha=0.8)
+    target = make_target("pines")
+    run = run_mfm(target, cfg)
+    r = run_flow_smc(
+        target, cfg, run.transport, run.train.params, run.ref_dist,
+        key=jax.random.PRNGKey(7), n_particles=n_particles,
+        n_steps=n_steps, num_mcmc_steps=4,
+    )
+    return {
+        "train_time": round(run.train_time, 2),
+        "smc_time": round(r.train_time, 2),
+        "lmbda": float(r.lmbda),
+        "log_z": round(float(r.log_z), 2),
+        "ess_fraction": float(r.ess_fraction),
+    }
+
+
 def bench_pines_move_quality(n_train=4000, n_eval=512, n_moves=50):
     """Quality artifact: pines flow + IS + move correction KSD, so the
     per-round bench records quality alongside speed."""
@@ -263,6 +292,7 @@ def main():
         ("mfm_phi_four_steady", lambda: bench_mfm_steady(
             "phi-four", 300, mcmc_per_flow_steps=100.0)),
         ("chain_scaling", bench_chain_scaling),
+        ("pines_flow_smc", bench_pines_flow_smc),
     ] + (
         # a 4000-iteration pines training run: hours on the 1-core CPU host,
         # so opt-in only (BENCH_QUALITY=1 python bench.py)

@@ -48,6 +48,11 @@ class TestBench:
             lambda: {"train_time_s": 1.0, "ksd_u_is_resampled": 1.0,
                      "ksd_u_move_corrected": 0.1},
         )
+        monkeypatch.setattr(
+            bench, "bench_pines_flow_smc",
+            lambda: {"train_time": 1.0, "smc_time": 1.0, "lmbda": 1.0,
+                     "log_z": 500.0, "ess_fraction": 1.0},
+        )
         monkeypatch.chdir(tmp_path)
         bench.main()
         first_line = capsys.readouterr().out.strip().splitlines()[0]
