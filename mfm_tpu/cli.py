@@ -80,7 +80,7 @@ def run_one(target, cfg, args):
     else:
         run = run_mfm(target, cfg, logger=log)
         train_time = run.train_time
-        if getattr(args, "move_correct", 0):
+        if getattr(args, "move_correct", 0) and not getattr(args, "flow_smc", 0):
             # row 1 = the IS-resampled set, row 2 (* columns) = after the
             # MCMC move correction (drivers.sample_flow_move)
             from mfm_tpu.drivers import sample_flow_move
@@ -106,6 +106,16 @@ def run_one(target, cfg, args):
                 key_pick, jnp.log(r.weights), shape=(n_eval,)
             )
             exact_samples = r.samples[idx]
+            if getattr(args, "move_correct", 0):
+                # composition: the annealed ensemble seeds the move kernel
+                # (best of both — flow-SMC's logZ + the move correction's
+                # KSD floor)
+                from mfm_tpu.drivers.mfm import mala_move_correct
+
+                exact_samples = mala_move_correct(
+                    exact_samples, target, jax.random.fold_in(key_pick, 1),
+                    n_moves=args.move_correct, init_step=cfg.step_size,
+                )
             log.log({
                 "flow_smc_log_z": float(r.log_z),
                 "flow_smc_lmbda": float(r.lmbda),
@@ -265,11 +275,12 @@ def main(argv=None):
             "columns of baselines/SMC/vmapped sweeps are not move-"
             "corrected); drop one of the conflicting flags"
         )
-    if args.flow_smc and (non_mfm or args.vmap_seeds or args.move_correct):
+    if args.flow_smc and (non_mfm or args.vmap_seeds):
         raise SystemExit(
             "--flow-smc applies only to the plain MFM run and replaces the "
             "final correction; drop the conflicting flag "
-            "(baseline/--vmap-seeds/--move-correct)"
+            "(baseline/--vmap-seeds). It DOES compose with --move-correct "
+            "(annealed ensemble seeds the move kernel)."
         )
 
     for flag, pkg in [("do_fab", "fabjax"), ("do_flowmc", "flowMC"), ("do_dds", "dds")]:

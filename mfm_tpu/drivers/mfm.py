@@ -595,17 +595,35 @@ def sample_flow_move(
 
     Returns (moved_samples, exact_samples, log_weights).
     """
-    from mfm_tpu.adaptation.window import da_init, da_update
-
     key_is, key_moves = jax.random.split(key)
     flow_s, exact_s, log_w = sample_flow(run, key_is, n_samples, target)
+    moved = mala_move_correct(
+        exact_s, target, key_moves, n_moves, init_step, target_acceptance
+    )
+    return moved, exact_s, log_w
+
+
+def mala_move_correct(
+    positions: jax.Array,
+    target: Target,
+    key: jax.Array,
+    n_moves: int = 100,
+    init_step: float = 0.01,
+    target_acceptance: float = 0.574,
+) -> jax.Array:
+    """Self-tuning MALA move correction of an approximate sample set.
+
+    Continuous adaptation breaks detailed balance, so the chain is split
+    into a warmup half (dual-averaging live) and a sampling half run at
+    the frozen averaged step size exp(log_step_avg) — only the frozen
+    half's endpoint is returned, so the final kernel is exactly
+    target-invariant. Shared by ``sample_flow_move`` and the CLI's
+    ``--flow-smc N --move-correct M`` composition.
+    """
+    from mfm_tpu.adaptation.window import da_init, da_update
 
     vs = target.value_and_score
     kernel = mala.build_kernel(vs)
-    # continuous adaptation breaks detailed balance, so the chain is split
-    # into a warmup half (dual-averaging live) and a sampling half run at the
-    # frozen averaged step size exp(log_step_avg) — only the frozen half's
-    # endpoint is returned, so the final kernel is exactly target-invariant
     n_warm = n_moves // 2
 
     @jax.jit
@@ -635,5 +653,4 @@ def sample_flow_move(
         state, _ = lax.scan(frozen_body, state, keys[n_warm:])
         return state.position
 
-    moved = run_moves(exact_s, key_moves)
-    return moved, exact_s, log_w
+    return run_moves(positions, key)
