@@ -87,16 +87,43 @@ def run_smc(
     adapt_step, adapt_mass, target_acc = cfg.resolved_adaptation()
     builder = _make_kernel_builder(cfg)
 
+    # sharded particle ensemble: cfg.mesh_shape plugs in the shard_map
+    # distributed resampler + ppermute ring gather, keeping the whole SMC
+    # step free of particle-matrix all-gathers (smc/distributed.py; the
+    # local jit path stays the single-chip default)
+    resample_fn = get_resampler(resampler)
+    gather_fn = None
+    mesh = None
+    if cfg.mesh_shape is not None:
+        from mfm_tpu.parallel import make_mesh
+        from mfm_tpu.smc.distributed import (
+            make_distributed_gather,
+            make_distributed_resampler,
+        )
+
+        axis_names = ("ensemble", "chains")[-len(cfg.mesh_shape):]
+        mesh = make_mesh(tuple(cfg.mesh_shape), axis_names)
+        if resampler in ("systematic", "stratified"):
+            resample_fn = make_distributed_resampler(resampler, mesh)
+            gather_fn = make_distributed_gather(mesh)
+
     algo = adaptive_tempered_smc(
         target,
         mcmc_kernel_builder=builder,
         mcmc_init=mala.init,
-        resample_fn=get_resampler(resampler),
+        resample_fn=resample_fn,
         target_ess=cfg.alpha,
         num_mcmc_steps=cfg.iter_per_temp,
+        gather_fn=gather_fn,
     )
 
     init_positions = target.init_positions(key_init, cfg.num_chain)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        init_positions = jax.device_put(
+            init_positions, NamedSharding(mesh, P("chains"))
+        )
     state = algo.init(init_positions)
 
     from mfm_tpu.adaptation.window import da_init, da_update

@@ -295,3 +295,72 @@ class TestDistributedGather:
         # and the step still runs + matches the local path's moments
         out, _ = jax.jit(algo.step)(key, state)
         assert np.isfinite(np.asarray(out.particles)).all()
+
+
+class Test2DMesh:
+    """ROADMAP item 5: the distributed resampler and the ring gather key on
+    the named axis, so a 2-D (ensemble, chains) mesh — the pod-scale layout
+    — works without changes; pin that with a regression test."""
+
+    def test_resampler_and_gather_on_2d_mesh(self, key):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mfm_tpu.smc.distributed import (
+            distributed_systematic,
+            distributed_take,
+        )
+        from mfm_tpu.smc.resampling import systematic
+
+        mesh2 = make_mesh((2, 4), ("ensemble", "chains"))
+        n, d = 4096, 4
+        w = jax.random.uniform(jax.random.fold_in(key, 1), (n,)) ** 2
+        w = w / w.sum()
+        ws = jax.device_put(w, NamedSharding(mesh2, P("chains")))
+        idx = distributed_systematic(key, ws, n, mesh2, axis="chains")
+        ref = systematic(key, w, n)
+        assert (np.asarray(idx) == np.asarray(ref)).mean() > 0.99
+
+        X = jax.random.normal(jax.random.fold_in(key, 2), (n, d))
+        out = distributed_take(
+            jax.device_put(X, NamedSharding(mesh2, P("chains"))),
+            jax.device_put(idx, NamedSharding(mesh2, P("chains"))),
+            mesh2,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(jnp.take(X, jnp.asarray(idx), axis=0))
+        )
+
+
+class TestShardedSMCDriver:
+    @pytest.mark.slow
+    def test_run_smc_with_mesh(self, key):
+        """cfg.mesh_shape routes the SMC driver through the distributed
+        resampler + ring gather; results must match the local run's
+        moments on the 4-mode mixture."""
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers.smc_run import run_smc
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        base = dict(
+            example="4-mode", dim=2, num_chain=256, learning_iter=20,
+            eval_iter=4, step_size=0.25, alpha=0.9,
+            anneal_iter=200, num_anneal_temp=100,
+        )
+        local = run_smc(target, MFMConfig(**base), key=jax.random.PRNGKey(0))
+        sharded = run_smc(
+            target, MFMConfig(**base, mesh_shape=(8,)),
+            key=jax.random.PRNGKey(0),
+        )
+        assert float(local.lmbda) == float(sharded.lmbda) == 1.0
+        real = np.asarray(target.sample(jax.random.PRNGKey(1), (4096,)))
+        for r in (local, sharded):
+            s = np.asarray(r.particles)
+            np.testing.assert_allclose(
+                (s**2).mean(0), (real**2).mean(0), rtol=0.3
+            )
+        # same logZ estimator to tight tolerance (same keys; the f32
+        # prefix-sum bracketing differs by ulps)
+        np.testing.assert_allclose(
+            float(local.log_z), float(sharded.log_z), atol=0.1
+        )
