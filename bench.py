@@ -244,9 +244,47 @@ def bench_mfm_steady(example: str, n_iter: int, repeats: int = 3, **overrides):
     }
 
 
+def wait_for_device(max_wait=900, probe_timeout=120):
+    """Block until the accelerator answers a VALUE fetch, or give up.
+
+    The axon tunnel can wedge silently after a device fault:
+    block_until_ready returns instantly while actual fetches hang (and
+    timings read absurdly fast). Probing in a SUBPROCESS keeps this
+    process clean — an in-process hung fetch cannot be cancelled. Probes
+    every ~probe_timeout s until max_wait; returns True when healthy.
+    """
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda x: (x*x).sum())(jnp.ones(128))))"
+    )
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, timeout=probe_timeout, text=True,
+            )
+            if r.returncode == 0 and "128.0" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(
+                "bench: device probe still failing after "
+                f"{max_wait}s — proceeding anyway", file=sys.stderr,
+            )
+            return False
+        print("bench: device wedged, waiting for recovery...", file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
     import sys
 
+    wait_for_device()
     details = {"device": str(jax.devices()[0])}
 
     # --- headline: pines MFM steady training rate, median of 3 repeats
