@@ -129,7 +129,7 @@ def bench_pines_flow_smc(n_train=3000, n_particles=512, n_steps=32):
     r = run_flow_smc(
         target, cfg, run.transport, run.train.params, run.ref_dist,
         key=jax.random.PRNGKey(7), n_particles=n_particles,
-        n_steps=n_steps, num_mcmc_steps=4,
+        n_steps=n_steps, num_mcmc_steps=4, steady_timing=True,
     )
     return {
         "train_time": round(run.train_time, 2),

@@ -50,7 +50,6 @@ def main():
     from mfm_tpu.diagnostics import stein_disc
     from mfm_tpu.drivers.flow_smc import run_flow_smc
     from mfm_tpu.drivers.mfm import run_mfm, sample_flow
-    from mfm_tpu.drivers.baselines import is_resample
 
     cfg = preset(
         "pines",
@@ -100,7 +99,7 @@ def main():
             target, cfg, run.transport, run.train.params, run.ref_dist,
             key=jax.random.PRNGKey(1000 + seed), n_particles=args.particles,
             n_steps=args.steps, num_mcmc_steps=args.mcmc_steps,
-            inner_kernel=args.inner,
+            inner_kernel=args.inner, steady_timing=True,
         )
         # KSD of the annealed ensemble (resampled by final weights)
         idx = jax.random.categorical(

@@ -96,8 +96,8 @@ def run_one(target, cfg, args):
             # its final weights when lambda stopped short of 1
             from mfm_tpu.drivers.flow_smc import run_flow_smc
 
-            key_smc, key_pick = jax.random.split(key_eval)
-            flow_samples, _, _ = sample_flow(run, key_eval, n_eval, target)
+            key_flow, key_smc, key_pick = jax.random.split(key_eval, 3)
+            flow_samples, _, _ = sample_flow(run, key_flow, n_eval, target)
             r = run_flow_smc(
                 target, cfg, run.transport, run.train.params, run.ref_dist,
                 key=key_smc, n_particles=n_eval, n_steps=args.flow_smc,

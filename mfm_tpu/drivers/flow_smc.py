@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from mfm_tpu.config import MFMConfig
-from mfm_tpu.kernels import mala
 from mfm_tpu.smc import adaptive_tempered_smc, get_resampler
 from mfm_tpu.targets.base import Target
 
@@ -47,7 +46,10 @@ class FlowSMCResult(NamedTuple):
 
 
 def ess_fraction_of(weights: jax.Array) -> jax.Array:
-    return 1.0 / (jnp.sum(weights**2) * weights.shape[0])
+    """ESS(w)/N via the shared log-weight implementation (smc/ess.py)."""
+    from mfm_tpu.smc import ess as smc_ess
+
+    return smc_ess.ess(jnp.log(weights)) / weights.shape[0]
 
 
 def _make_latent_tess_builder(ref_dist: Target, max_subiter: int = 30):
@@ -160,6 +162,7 @@ def run_flow_smc(
     n_steps: int = 30,
     num_mcmc_steps: Optional[int] = None,
     inner_kernel: Optional[str] = None,
+    steady_timing: bool = False,
 ) -> FlowSMCResult:
     """Anneal q0 --T--> pi with ``n_steps`` adaptive tempering steps.
 
@@ -172,7 +175,14 @@ def run_flow_smc(
     tempered latent target, gradient-free AND tuning-free (no step size
     to adapt; the natural latent-space choice since q0 is the ellipse
     prior). Reference anchor: bblackjax/mcmc/tess.py, here applied to the
-    tempered pullback rather than the lambda=1 pullback.
+    tempered pullback rather than the lambda=1 pullback. Adaptation
+    resolves for the EFFECTIVE kernel, and step adaptation defaults ON
+    (latent scales are unrelated to cfg.step_size); adapt_step_size=False
+    disables it.
+
+    ``steady_timing``: run one full throwaway anneal first so train_time
+    is the steady-state device time (benchmark mode — doubles the cost;
+    the default times the single run, compile included).
     """
     from mfm_tpu.adaptation.window import da_init, da_update
     from mfm_tpu.drivers.smc_run import _make_kernel_builder
@@ -183,18 +193,29 @@ def run_flow_smc(
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     n = n_particles or cfg.num_chain
-    n_mcmc = num_mcmc_steps or cfg.iter_per_temp
+    n_mcmc = cfg.iter_per_temp if num_mcmc_steps is None else num_mcmc_steps
     key_init, key_run, key_push = jax.random.split(key, 3)
 
     kernel_name = inner_kernel or cfg.mcmc_kernel
-    adapt_step, adapt_mass, target_acc = cfg.resolved_adaptation()
     if kernel_name == "tess":
         builder, mcmc_init = _make_latent_tess_builder(ref_dist)
         adapt_step = adapt_mass = False  # slice moves have nothing to tune
+        target_acc = 0.0  # unused
     else:
         import dataclasses as _dc
 
-        builder = _make_kernel_builder(_dc.replace(cfg, mcmc_kernel=kernel_name))
+        # resolve adaptation for the EFFECTIVE inner kernel (an
+        # inner_kernel override must bring its own defaults: nuts gets
+        # mass adaptation + 0.8 target even when cfg.mcmc_kernel='mala')
+        inner_cfg = _dc.replace(cfg, mcmc_kernel=kernel_name)
+        adapt_step, adapt_mass, target_acc = inner_cfg.resolved_adaptation()
+        if cfg.adapt_step_size is None:
+            # latent-space deviation from the data-space default: the
+            # pullback's scale has nothing to do with cfg.step_size, so a
+            # fixed-step latent MALA is almost always mistuned — step
+            # adaptation defaults ON here unless explicitly disabled
+            adapt_step = True
+        builder = _make_kernel_builder(inner_cfg)
         mcmc_init = mala.init
 
     u0 = ref_dist.sample(key_init, (n,))
@@ -235,8 +256,11 @@ def run_flow_smc(
         return state, jnp.sum(log_z_inc), acc
 
     keys = jax.random.split(key_run, n_steps)
-    state, log_z, acc = run(state0, keys)
-    jax.block_until_ready(state)
+    if steady_timing:
+        # benchmark mode: warm-compile with a full throwaway anneal so
+        # train_time is the steady-state device time
+        warm = run(state0, keys)
+        jax.block_until_ready(warm)
     start = time.time()
     state, log_z, acc = run(state0, keys)
     jax.block_until_ready(state)

@@ -293,7 +293,10 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
             new, info = flow_kernel(k, chain, train_params, transport, tgt)
             return new, info.acceptance_rate, da, wf, inv_mass
 
-        frozen = count >= freeze_iter
+        # counts run 1..learning_iter, so adaptation stays live through
+        # iteration freeze_iter inclusive (fraction 1.0 = never frozen,
+        # exactly the round-2 always-adapting behavior)
+        frozen = count > freeze_iter
         step_size = (
             jnp.exp(jnp.where(frozen, da.log_step_avg, da.log_step))
             if adapt_step
@@ -373,7 +376,11 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
             "beta": beta,
         }
         if adapt_step:
-            metrics["step_size"] = jnp.exp(da.log_step)
+            # the step the kernel actually used this iteration (pinned to
+            # the dual-averaged value once the freeze kicks in)
+            metrics["step_size"] = jnp.exp(
+                jnp.where(count > freeze_iter, da.log_step_avg, da.log_step)
+            )
         return MFMCarry(chain, train, beta, da, wf, inv_mass), metrics
 
     return MFMPieces(
@@ -501,9 +508,13 @@ def run_mfm(
     jax.block_until_ready(carry)
     train_time = time.time() - train_start
 
-    metrics = jax.tree_util.tree_map(
-        lambda *xs: jnp.concatenate(xs), *metrics_chunks
-    )
+    if metrics_chunks:
+        metrics = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *metrics_chunks
+        )
+    else:
+        # resumed at (or past) learning_iter: nothing left to run
+        metrics = {}
 
     # evaluation-facing transport: richer divergence probes / finer ODE grid
     # than the training loop's (IS weights exponentiate logdet noise)
