@@ -258,3 +258,60 @@ class TestMultiSeed:
         assert not np.allclose(
             np.asarray(sweep.fourier[0]), np.asarray(sweep.fourier[1])
         )
+
+
+class TestAdaptationFreeze:
+    def test_step_pinned_after_freeze(self):
+        """With adapt_freeze_fraction=0.5 the reported (and used) step size
+        must be constant over the frozen half; with 1.0 it keeps moving to
+        the very end (round-2 always-adapting behavior)."""
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers import run_mfm
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        base = dict(
+            example="4-mode", dim=2, num_chain=16, learning_iter=40,
+            chunk_size=40, hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,),
+            fourier_dim=8, ode_steps=4, mcmc_per_flow_steps=1000.0,
+            mcmc_kernel="nuts", nuts_max_depth=3,
+        )
+        frozen = run_mfm(
+            target, MFMConfig(**base, adapt_freeze_fraction=0.5),
+            key=jax.random.PRNGKey(0),
+        )
+        steps = np.asarray(frozen.metrics["step_size"])
+        # all iterations are MCMC (ratio 1000); the frozen half is constant
+        assert np.unique(steps[21:]).size == 1, steps[18:]
+        assert np.unique(steps[:20]).size > 1
+
+        live = run_mfm(
+            target, MFMConfig(**base, adapt_freeze_fraction=1.0),
+            key=jax.random.PRNGKey(0),
+        )
+        live_steps = np.asarray(live.metrics["step_size"])
+        assert np.unique(live_steps[21:]).size > 1  # still adapting
+
+
+class TestResumeAtCompletion:
+    def test_rerun_after_finished_checkpoint(self, tmp_path):
+        """Re-invoking a run whose latest checkpoint is at learning_iter
+        must return the completed state instead of crashing on the empty
+        metrics concatenation."""
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers import run_mfm
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        cfg = MFMConfig(
+            example="4-mode", dim=2, num_chain=16, learning_iter=8,
+            chunk_size=4, hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,),
+            fourier_dim=8, ode_steps=4, mcmc_per_flow_steps=2.0,
+            checkpoint_dir=str(tmp_path / "ck"), checkpoint_every_chunks=1,
+        )
+        first = run_mfm(target, cfg, key=jax.random.PRNGKey(0))
+        again = run_mfm(target, cfg, key=jax.random.PRNGKey(0))
+        assert again.metrics == {}
+        np.testing.assert_array_equal(
+            np.asarray(first.chain.position), np.asarray(again.chain.position)
+        )
