@@ -81,6 +81,13 @@ class MFMConfig:
     alpha: float = 0.95
     anneal_iter: int = 200
     num_anneal_temp: int = 200
+    # waste-free SMC (Dau & Chopin 2022) for the SMC drivers: resample
+    # M = num_chain / P ancestors per tempering step and keep all P chain
+    # states per ancestor as the new particle system (reference declares
+    # the num_resampled hook, bblackjax/smc/base.py:99-103, but never
+    # uses it). 0 = standard SMC (iter_per_temp inner moves, last state
+    # kept); P >= 2 replaces the per-step move budget with P - 1.
+    waste_free_p: int = 0
 
     # optimizer (reference multi_modal.py:199-205)
     learning_rate: float = 1e-3

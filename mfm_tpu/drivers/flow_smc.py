@@ -193,6 +193,11 @@ def run_flow_smc(
     if key is None:
         key = jax.random.PRNGKey(cfg.seed)
     n = n_particles or cfg.num_chain
+    if cfg.waste_free_p and n % cfg.waste_free_p:
+        raise ValueError(
+            f"waste_free_p={cfg.waste_free_p} must divide the particle "
+            f"count {n}"
+        )
     n_mcmc = cfg.iter_per_temp if num_mcmc_steps is None else num_mcmc_steps
     key_init, key_run, key_push = jax.random.split(key, 3)
 
@@ -235,6 +240,7 @@ def run_flow_smc(
             resample_fn=get_resampler("systematic"),
             target_ess=cfg.alpha,
             num_mcmc_steps=n_mcmc,
+            waste_free_p=cfg.waste_free_p,
         )
         step_size = jnp.exp(da.log_step) if adapt_step else cfg.step_size
         im = (

@@ -20,6 +20,10 @@ mala | hmc | nuts) and can self-tune in the loop —
 Defaults keep strict reference parity: MALA at fixed cfg.step_size.
 Adaptation resolves through cfg.resolved_adaptation() — on for hmc/nuts,
 opt-in for MALA (--set adapt_step_size=true).
+
+``cfg.waste_free_p`` >= 2 switches the move stage to waste-free SMC
+(smc/tempered.py): M = N/P resampled ancestors, P - 1 moves each, every
+intermediate state kept — a lower-variance logZ at the same move budget.
 """
 
 import time
@@ -107,6 +111,20 @@ def run_smc(
             resample_fn = make_distributed_resampler(resampler, mesh)
             gather_fn = make_distributed_gather(mesh)
 
+    if cfg.waste_free_p:
+        if cfg.num_chain % cfg.waste_free_p:
+            raise ValueError(
+                f"waste_free_p={cfg.waste_free_p} must divide "
+                f"num_chain={cfg.num_chain}"
+            )
+        if mesh is not None:
+            n_shards = mesh.devices.size
+            if (cfg.num_chain // cfg.waste_free_p) % n_shards:
+                raise ValueError(
+                    "waste-free under a mesh needs num_chain/waste_free_p "
+                    f"divisible by the shard count ({n_shards})"
+                )
+
     algo = adaptive_tempered_smc(
         target,
         mcmc_kernel_builder=builder,
@@ -115,6 +133,7 @@ def run_smc(
         target_ess=cfg.alpha,
         num_mcmc_steps=cfg.iter_per_temp,
         gather_fn=gather_fn,
+        waste_free_p=cfg.waste_free_p,
     )
 
     init_positions = target.init_positions(key_init, cfg.num_chain)

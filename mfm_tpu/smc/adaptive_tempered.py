@@ -25,10 +25,11 @@ def build_kernel(
     num_mcmc_steps: int = 10,
     root_solver: Callable = solvers.dichotomy,
     gather_fn=None,
+    waste_free_p: int = 0,
 ) -> Callable:
     tempered_kernel = tempered.build_kernel(
         target, mcmc_kernel_builder, mcmc_init, resample_fn, num_mcmc_steps,
-        gather_fn,
+        gather_fn, waste_free_p,
     )
 
     def kernel(rng_key, state: tempered.TemperedSMCState, mcmc_params=None):
@@ -50,6 +51,7 @@ def adaptive_tempered_smc(
     num_mcmc_steps: int = 10,
     root_solver: Callable = solvers.dichotomy,
     gather_fn=None,
+    waste_free_p: int = 0,
 ) -> SamplingAlgorithm:
     kernel = build_kernel(
         target,
@@ -60,5 +62,6 @@ def adaptive_tempered_smc(
         num_mcmc_steps,
         root_solver,
         gather_fn,
+        waste_free_p,
     )
     return SamplingAlgorithm(tempered.init, kernel)

@@ -78,6 +78,20 @@ class TestParity:
         gap = np.abs(cumw[ref] - cumw[dist])
         assert gap.max() < 1e-4, gap.max()
 
+    def test_exact_in_x64_num_resampled(self, mesh, key):
+        """Waste-free path: M = N/P ancestors, still bit-identical to the
+        single-device resampler (exactness doesn't depend on M = N)."""
+        m = N // 8
+        with jax.enable_x64(True):
+            w = _weights(jax.random.fold_in(key, 7), N, jnp.float64)
+            ref = np.asarray(jax.jit(lambda k, w: systematic(k, w, m))(key, w))
+            dist = np.asarray(
+                jax.jit(
+                    lambda k, w: distributed_systematic(k, w, m, mesh)
+                )(key, _sharded(w, mesh))
+            )
+        np.testing.assert_array_equal(ref, dist)
+
     def test_counts_match_weights(self, mesh, key):
         """Systematic guarantee: every particle is copied floor(N w_j) or
         ceil(N w_j) times."""
@@ -364,3 +378,38 @@ class TestShardedSMCDriver:
         np.testing.assert_allclose(
             float(local.log_z), float(sharded.log_z), atol=0.1
         )
+
+    @pytest.mark.slow
+    def test_run_smc_with_mesh_waste_free(self, key):
+        """Waste-free SMC under the mesh: M = N/P sharded ancestors expand
+        shard-locally to the N-particle system (chain-major reshape in
+        smc/tempered.py); local and sharded runs agree."""
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers.smc_run import run_smc
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        base = dict(
+            example="4-mode", dim=2, num_chain=256, learning_iter=20,
+            eval_iter=4, step_size=0.25, alpha=0.9, waste_free_p=4,
+            anneal_iter=200, num_anneal_temp=100,
+        )
+        local = run_smc(target, MFMConfig(**base), key=jax.random.PRNGKey(0))
+        sharded = run_smc(
+            target, MFMConfig(**base, mesh_shape=(8,)),
+            key=jax.random.PRNGKey(0),
+        )
+        assert float(local.lmbda) == float(sharded.lmbda) == 1.0
+        # the resampler + ring gather are verified index-exact with M < N
+        # elsewhere in this file; the residual local-vs-sharded drift is
+        # f32 reduction-order divergence in the ESS bisection compounding
+        # over ~100 adaptive temperatures (measured 0.16 nats at this seed)
+        np.testing.assert_allclose(
+            float(local.log_z), float(sharded.log_z), atol=0.3
+        )
+        real = np.asarray(target.sample(jax.random.PRNGKey(1), (4096,)))
+        for r in (local, sharded):
+            s = np.asarray(r.particles)
+            np.testing.assert_allclose(
+                (s**2).mean(0), (real**2).mean(0), rtol=0.3
+            )

@@ -233,3 +233,138 @@ class TestSMCDriverKernels:
         np.testing.assert_allclose(
             (samples**2).mean(0), (real**2).mean(0), rtol=0.35
         )
+
+
+class TestWasteFreeSMC:
+    """Waste-free SMC (Dau & Chopin 2022) through the num_resampled hook:
+    M = N/P resampled ancestors, P - 1 inner moves each, every chain state
+    kept. The reference declares the hook (bblackjax/smc/base.py:99-103)
+    but never exercises it."""
+
+    def _algo(self, tgt, waste_free_p=0, num_mcmc_steps=5, step=0.3):
+        return adaptive_tempered_smc(
+            tgt,
+            mcmc_kernel_builder=lambda vs: (
+                lambda k, s: mala.build_kernel(vs)(k, s, step)
+            ),
+            mcmc_init=mala.init,
+            resample_fn=get_resampler("systematic"),
+            target_ess=0.7,
+            num_mcmc_steps=num_mcmc_steps,
+            waste_free_p=waste_free_p,
+        )
+
+    def test_step_shapes_and_ancestors(self, key):
+        """One waste-free step: N particles out, normalized weights, only
+        M = N/P ancestors resampled, (P-1, M) inner acceptance."""
+        tgt = _GaussPosterior(dim=2)
+        n, p = 64, 4
+        algo = self._algo(tgt, waste_free_p=p)
+        state = algo.init(jax.random.normal(key, (n, 2)))
+        state, info = jax.jit(algo.step)(jax.random.fold_in(key, 1), state)
+        assert state.particles.shape == (n, 2)
+        np.testing.assert_allclose(float(jnp.sum(state.weights)), 1.0, rtol=1e-5)
+        assert info.ancestors.shape == (n // p,)
+        assert info.update_info.shape == (p - 1, n // p)
+
+    def test_gaussian_posterior_waste_free(self, key):
+        """Full anneal with waste-free moves: lambda reaches 1, logZ and
+        posterior moments within the standard-SMC tolerances."""
+        tgt = _GaussPosterior(dim=2)
+        n, p = 1024, 8
+        algo = self._algo(tgt, waste_free_p=p)
+        state = algo.init(jax.random.normal(key, (n, 2)))
+
+        @jax.jit
+        def one_step(state, k):
+            state, info = algo.step(k, state)
+            return state, info.log_likelihood_increment
+
+        log_z = 0.0
+        for i in range(40):
+            state, inc = one_step(state, jax.random.fold_in(key, i))
+            log_z += float(inc)
+            if float(state.lmbda) >= 1.0:
+                break
+        assert float(state.lmbda) == 1.0
+        np.testing.assert_allclose(log_z, tgt.log_Z, atol=0.1)
+        np.testing.assert_allclose(
+            np.average(
+                np.asarray(state.particles), axis=0,
+                weights=np.asarray(state.weights),
+            ),
+            tgt.posterior_mean,
+            atol=0.05,
+        )
+
+    def test_rejects_bad_p(self, key):
+        tgt = _GaussPosterior(dim=2)
+        with pytest.raises(ValueError, match="waste_free_p=1"):
+            self._algo(tgt, waste_free_p=1)
+        algo = self._algo(tgt, waste_free_p=3)
+        state = algo.init(jax.random.normal(key, (64, 2)))  # 64 % 3 != 0
+        with pytest.raises(ValueError, match="divisible"):
+            algo.step(key, state)
+
+    @pytest.mark.slow  # ~8 x 2 anneals; statistical comparison
+    def test_logz_rmse_not_worse_than_standard(self, key):
+        """At a matched move budget (P-1 moves/ancestor vs num_mcmc_steps
+        moves/particle), waste-free logZ error should be in the same class
+        as standard SMC (the method's point is lower variance for free)."""
+        tgt = _GaussPosterior(dim=8)
+        n, p = 512, 8
+
+        def run_once(algo, seed):
+            state = algo.init(jax.random.normal(jax.random.fold_in(key, seed), (n, 8)))
+
+            @jax.jit
+            def one_step(state, k):
+                state, info = algo.step(k, state)
+                return state, info.log_likelihood_increment
+
+            log_z = 0.0
+            for i in range(60):
+                state, inc = one_step(
+                    state, jax.random.fold_in(jax.random.fold_in(key, seed), i)
+                )
+                log_z += float(inc)
+                if float(state.lmbda) >= 1.0:
+                    break
+            assert float(state.lmbda) == 1.0
+            return log_z
+
+        std_algo = self._algo(tgt, num_mcmc_steps=p - 1)
+        wf_algo = self._algo(tgt, waste_free_p=p)
+        errs_std = [run_once(std_algo, 100 + s) - tgt.log_Z for s in range(8)]
+        errs_wf = [run_once(wf_algo, 100 + s) - tgt.log_Z for s in range(8)]
+        rmse_std = float(np.sqrt(np.mean(np.square(errs_std))))
+        rmse_wf = float(np.sqrt(np.mean(np.square(errs_wf))))
+        # guard the capability, not the research claim: same error class
+        assert rmse_wf < max(2.0 * rmse_std, 0.2), (rmse_wf, rmse_std)
+
+    def test_driver_waste_free(self):
+        """run_smc with cfg.waste_free_p: reaches the target and harvests
+        the full N-particle system per step."""
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers.smc_run import run_smc
+        from mfm_tpu.targets import four_mode_mixture
+
+        cfg = MFMConfig(
+            example="4-mode", dim=2, num_chain=128, learning_iter=14,
+            eval_iter=2, step_size=0.2, alpha=0.9, waste_free_p=4,
+            anneal_iter=200, num_anneal_temp=100,
+        )
+        result, target = run_smc(four_mode_mixture(), cfg, key=jax.random.PRNGKey(0)), None
+        assert float(result.lmbda) == 1.0
+        samples = np.asarray(result.particles)
+        assert samples.shape == (2 * 128, 2)
+        assert np.isfinite(samples).all()
+
+    def test_driver_rejects_indivisible(self):
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers.smc_run import run_smc
+        from mfm_tpu.targets import four_mode_mixture
+
+        cfg = MFMConfig(num_chain=100, waste_free_p=3)
+        with pytest.raises(ValueError, match="divide"):
+            run_smc(four_mode_mixture(), cfg, key=jax.random.PRNGKey(0))
