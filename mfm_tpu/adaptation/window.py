@@ -31,7 +31,10 @@ class DualAveragingState(NamedTuple):
 
 
 def da_init(step_size: float) -> DualAveragingState:
-    step = jnp.asarray(step_size, jnp.float32)
+    # default float dtype (not hardcoded f32): under jax_enable_x64 the
+    # other carry leaves (zeros below) are f64, and da_update's promotion
+    # would otherwise change the carry dtype mid-scan
+    step = jnp.asarray(step_size, jnp.result_type(float))
     return DualAveragingState(
         jnp.log(step),
         jnp.log(step),

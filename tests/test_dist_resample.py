@@ -413,3 +413,30 @@ class TestShardedSMCDriver:
             np.testing.assert_allclose(
                 (s**2).mean(0), (real**2).mean(0), rtol=0.3
             )
+
+    @pytest.mark.slow
+    def test_run_smc_with_mesh_waste_free_bitexact_x64(self, key):
+        """In x64 the whole waste-free driver run — resampler, ring gather,
+        chain-major expansion, ESS bisection, dual averaging — is
+        bit-identical local vs sharded, so any f32 drift is rounding only.
+        Also regression-pins da_init's dtype under jax_enable_x64 (a
+        hardcoded f32 used to break the scan carry)."""
+        from mfm_tpu.config import MFMConfig
+        from mfm_tpu.drivers.smc_run import run_smc
+        from mfm_tpu.targets import four_mode_mixture
+
+        target = four_mode_mixture()
+        base = dict(
+            example="4-mode", dim=2, num_chain=256, learning_iter=20,
+            eval_iter=2, step_size=0.25, alpha=0.9, waste_free_p=4,
+            anneal_iter=200, num_anneal_temp=100,
+        )
+        with jax.enable_x64(True):
+            local = run_smc(
+                target, MFMConfig(**base), key=jax.random.PRNGKey(0)
+            )
+            sharded = run_smc(
+                target, MFMConfig(**base, mesh_shape=(8,)),
+                key=jax.random.PRNGKey(0),
+            )
+        assert float(local.log_z) == float(sharded.log_z)
