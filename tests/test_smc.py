@@ -354,7 +354,7 @@ class TestWasteFreeSMC:
             eval_iter=2, step_size=0.2, alpha=0.9, waste_free_p=4,
             anneal_iter=200, num_anneal_temp=100,
         )
-        result, target = run_smc(four_mode_mixture(), cfg, key=jax.random.PRNGKey(0)), None
+        result = run_smc(four_mode_mixture(), cfg, key=jax.random.PRNGKey(0))
         assert float(result.lmbda) == 1.0
         samples = np.asarray(result.particles)
         assert samples.shape == (2 * 128, 2)
