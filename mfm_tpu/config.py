@@ -194,6 +194,14 @@ def preset(example: str, **overrides) -> MFMConfig:
         # and inverse use the identical function. --set
         # field_precision=highest restores exact-f32 matmuls.
         cfg.field_precision = "default"
+        # Rademacher eval probes: at d=1600 the 1-probe *Gaussian*
+        # Hutchinson logdet carries ~6.6 nats of per-sample noise, which
+        # Jensen-tilts any exponentiated use of the logdet (measured:
+        # flow-SMC logZ biased +1.8 nats vs the converged plain-SMC
+        # estimate; RESULTS_raw_pines_logz_probe_bias.json). Rademacher
+        # probes zero the diagonal variance term and recover the unbiased
+        # answer at identical cost.
+        cfg.eval_probe_dist = "rademacher"
     else:
         raise ValueError(f"unknown example {example!r}")
     for k, v in overrides.items():
