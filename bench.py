@@ -115,8 +115,9 @@ def bench_pines_flow_smc(n_train=3000, n_particles=512, n_steps=32):
     """Flow-annealed SMC detail row: train a short pines flow, anneal
     q0 -> pi, report the log-normalizer + anneal completion + device time
     (the round-3 weighted-sampler capability; full protocol in
-    benchmarks/pines_flow_smc.py, cross-validated logZ ~503.6 at 10k
-    training iters)."""
+    benchmarks/pines_flow_smc.py — at 10k training iters the normalizer
+    is cross-validated at ~501.8 by plain SMC and Rademacher-probe
+    flow-SMC, RESULTS.md "The pines log-normalizer resolved")."""
     from mfm_tpu.cli import make_target
     from mfm_tpu.config import preset
     from mfm_tpu.drivers.flow_smc import run_flow_smc
