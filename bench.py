@@ -288,8 +288,12 @@ def main():
     wait_for_device()
     details = {"device": str(jax.devices()[0])}
 
-    # --- headline: pines MFM steady training rate, median of 3 repeats
-    pines = bench_mfm_steady("pines", n_iter=200, mcmc_per_flow_steps=100.0)
+    # --- headline: pines MFM steady training rate, median of 3 repeats.
+    # 2000 iters (was 200 through round 2): a 200-iter scan pays ~35 ms of
+    # launch/stacking overhead against 165 ms of compute (-16% reported
+    # rate) and fits only one flow step of the 1:101 interleave; 2000
+    # amortizes the overhead and carries the steady 0.99% flow fraction
+    pines = bench_mfm_steady("pines", n_iter=2000, mcmc_per_flow_steps=100.0)
     details["mfm_pines_steady"] = pines
 
     # vs_baseline: measured rate of the UNMODIFIED reference on this

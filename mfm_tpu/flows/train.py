@@ -56,48 +56,90 @@ def make_lr_schedule(
     return optax.join_schedules([warmup, decay], [num_warmup_steps])
 
 
-class FiniteGuardState(NamedTuple):
-    notfinite_count: jax.Array
-    inner_state: optax.OptState
+class AdamWFiniteState(NamedTuple):
+    count: jax.Array  # applied (finite) steps, drives schedule + bias corr.
+    notfinite_count: jax.Array  # consecutive skipped steps
+    mu: optax.Updates
+    nu: optax.Updates
 
 
-def finite_guard(
-    inner: optax.GradientTransformation, max_consecutive_errors: int
+def adamw_finite(
+    learning_rate_fn,
+    b1: float,
+    b2: float,
+    eps: float,
+    weight_decay: float,
+    gradient_clip: float,
+    nonfinite_patience: int,
 ) -> optax.GradientTransformation:
-    """Select-based replacement for ``optax.apply_if_finite``.
+    """AdamW + update clipping + non-finite skip as ONE fused update.
 
-    Same semantics — skip the update and freeze the inner state when any
-    gradient is non-finite; once ``max_consecutive_errors`` consecutive
-    bad steps accumulate, pass updates through so the failure surfaces —
-    but compiled as elementwise selects instead of an HLO ``conditional``.
-    A TPU conditional cannot alias its operands across branches, so
-    ``apply_if_finite``'s cond copies the whole inner optimizer state
-    (~80 MB of AdamW moments for the pines-size field) through HBM every
-    iteration: measured 0.33 ms/iter = 40% of the pines MFM training
-    step. The selects here fuse into the AdamW update and remove that
-    copy entirely (headline profiled in RESULTS.md round 3).
+    Semantically ``optax.apply_if_finite(chain(adamw, clip), patience)``:
+    a non-finite gradient leaves params and both moments untouched and
+    bumps a consecutive-failure counter (reset on success); after
+    ``nonfinite_patience`` consecutive failures the NaN is propagated so
+    the blow-up surfaces. The fusion story is why it is hand-written
+    (profiled on the pines step, RESULTS.md round 3):
+
+    - ``apply_if_finite`` compiles to an HLO conditional, and a TPU
+      conditional cannot alias operands across branches — XLA copied the
+      whole ~80 MB AdamW state through HBM every iteration (0.33 ms/iter,
+      40% of the step);
+    - a select-based wrapper (``where(finite, new, old)`` per leaf) fixes
+      the cond but still materializes per-tensor select fusions that read
+      both moment copies (~0.1 ms/iter);
+    - the gated-increment form ``m + f*(1-b1)*(g - m)`` needs no second
+      copy at all: the whole leaf update (both moments, bias correction,
+      weight decay, clip, gate) is one elementwise fusion reading
+      (m, v, g, p) and writing (m, v, u) — the same HBM traffic as plain
+      AdamW.
     """
 
     def init_fn(params):
-        return FiniteGuardState(jnp.zeros((), jnp.int32), inner.init(params))
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdamWFiniteState(
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
+            zeros,
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
 
-    def update_fn(updates, state, params=None):
+    def update_fn(grads, state, params):
         finite = jnp.all(
             jnp.stack([
                 jnp.all(jnp.isfinite(g))
-                for g in jax.tree_util.tree_leaves(updates)
+                for g in jax.tree_util.tree_leaves(grads)
             ])
         )
-        new_updates, new_inner = inner.update(updates, state.inner_state, params)
-        use = finite | (state.notfinite_count > max_consecutive_errors)
-        guarded = jax.tree_util.tree_map(
-            lambda u: jnp.where(use, u, jnp.zeros_like(u)), new_updates
-        )
-        inner_state = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(use, n, o), new_inner, state.inner_state
-        )
-        count = jnp.where(finite, 0, state.notfinite_count + 1)
-        return guarded, FiniteGuardState(count, inner_state)
+        gate = finite.astype(jnp.float32)
+        poison = (~finite) & (state.notfinite_count >= nonfinite_patience)
+        count = state.count + finite.astype(jnp.int32)
+        # optax parity: schedule evaluated at the pre-increment applied
+        # count (optax.scale_by_schedule), bias correction at the
+        # post-increment one (optax.scale_by_adam)
+        lr = learning_rate_fn(state.count)
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**cf
+        bc2 = 1.0 - b2**cf
+        mask = decay_mask(params)
+
+        def leaf(m, v, g, p, decay):
+            g = jnp.where(finite, g, 0.0)
+            m2 = m + gate * (1.0 - b1) * (g - m)
+            v2 = v + gate * (1.0 - b2) * (g * g - v)
+            adam = (m2 / bc1) / (jnp.sqrt(v2 / bc2) + eps)
+            u = -lr * (adam + (weight_decay * p if decay else 0.0))
+            # where, not *gate: on a skipped step before any applied one,
+            # count=0 makes the bias correction 0/0 and NaN*0 stays NaN
+            u = jnp.where(finite, jnp.clip(u, -gradient_clip, gradient_clip), 0.0)
+            return m2, v2, jnp.where(poison, jnp.nan, u)
+
+        out = jax.tree_util.tree_map(leaf, state.mu, state.nu, grads, params, mask)
+        mu = jax.tree_util.tree_map(lambda _, o: o[0], grads, out)
+        nu = jax.tree_util.tree_map(lambda _, o: o[1], grads, out)
+        updates = jax.tree_util.tree_map(lambda _, o: o[2], grads, out)
+        notfinite = jnp.where(finite, 0, state.notfinite_count + 1)
+        return updates, AdamWFiniteState(count, notfinite, mu, nu)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -111,16 +153,15 @@ def make_optimizer(
     gradient_clip: float = 1.0,
     nonfinite_patience: int = 10,
 ) -> optax.GradientTransformation:
-    adamw = optax.adamw(
-        learning_rate=learning_rate_fn,
+    return adamw_finite(
+        learning_rate_fn,
         b1=b1,
         b2=b2,
         eps=eps,
         weight_decay=weight_decay,
-        mask=decay_mask,
+        gradient_clip=gradient_clip,
+        nonfinite_patience=nonfinite_patience,
     )
-    chain = optax.chain(adamw, optax.clip(gradient_clip))
-    return finite_guard(chain, nonfinite_patience)
 
 
 def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:

@@ -220,7 +220,59 @@ class TestTrainState:
         bad = jax.tree_util.tree_map(lambda p: jnp.full_like(p, jnp.nan), params)
         state2 = apply_gradients(state, bad, tx)
         flat = jax.flatten_util.ravel_pytree(state2.params)[0]
-        assert jnp.all(jnp.isfinite(flat))  # apply_if_finite skipped the update
+        assert jnp.all(jnp.isfinite(flat))  # finite guard skipped the update
+
+    def test_fused_adamw_matches_optax_chain(self, key):
+        """adamw_finite (one fused gated update, flows/train.py) must be
+        numerically the optax apply_if_finite(chain(adamw, clip)) it
+        replaced for speed — including skipped NaN steps that freeze the
+        moments and the applied-step count."""
+        import optax
+
+        from mfm_tpu.flows.train import decay_mask
+
+        params = {
+            "dense": {
+                "kernel": jax.random.normal(key, (32, 16)),
+                "bias": jnp.zeros(16),
+            },
+            "layernorm_1": {"scale": jnp.ones(16)},
+        }
+        lr_fn = make_lr_schedule(100, 10, 1e-2)
+        adamw = optax.adamw(
+            learning_rate=lr_fn, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=1e-4, mask=decay_mask,
+        )
+        ref_tx = optax.apply_if_finite(
+            optax.chain(adamw, optax.clip(1.0)), 10
+        )
+        new_tx = make_optimizer(lr_fn)
+
+        def run(tx):
+            @jax.jit
+            def step(carry, i):
+                p, s = carry
+                g = jax.tree_util.tree_map(
+                    lambda q: jax.random.normal(
+                        jax.random.fold_in(key, i), q.shape
+                    ) * 5.0,
+                    p,
+                )
+                bad = (i == 7) | (i == 8)
+                g = jax.tree_util.tree_map(
+                    lambda x: jnp.where(bad, jnp.nan, x), g
+                )
+                u, s = tx.update(g, s, p)
+                return (optax.apply_updates(p, u), s), None
+
+            (p, _), _ = jax.lax.scan(
+                step, (params, tx.init(params)), jnp.arange(50)
+            )
+            return jax.flatten_util.ravel_pytree(p)[0]
+
+        ref, new = run(ref_tx), run(new_tx)
+        assert jnp.all(jnp.isfinite(ref)) and jnp.all(jnp.isfinite(new))
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(new), atol=1e-5)
 
     def test_lr_schedule(self):
         fn = make_lr_schedule(100, 10, 1e-2)
