@@ -30,8 +30,28 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: the suite's wall-clock on the 1-core host
 # is dominated by XLA compiles (~180 tests x ~1-20 s each); caching them
 # across pytest sessions cuts repeat runs severalfold. Compiled artifacts
-# key on the HLO + flags, so stale hits are not a correctness risk.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+# key on the HLO + flags — but NOT on the host's CPU feature set, and a
+# serialized CPU executable AOT-compiled on a machine with more SIMD
+# features hard-aborts (SIGILL-class) when loaded on a lesser one (the
+# cpu_aot_loader "machine type doesn't match" warning is the precursor;
+# observed as a Fatal Python error in test_sharding after a host
+# migration). Key the cache dir by a fingerprint of the CPU flags so a
+# host change starts a fresh cache instead of loading a fatal one.
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as fh:
+            src = next(line for line in fh if line.startswith("flags"))
+    except (OSError, StopIteration):
+        src = platform.machine() + platform.processor()
+    return hashlib.sha1(src.encode()).hexdigest()[:10]
+
+
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), f".jax_cache-{_host_fingerprint()}"
+)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
