@@ -27,34 +27,38 @@ jax.config.update("jax_platforms", "cpu")
 # the framework pins HIGHEST explicitly on its accuracy-critical einsums.
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Persistent compilation cache: the suite's wall-clock on the 1-core host
-# is dominated by XLA compiles (~180 tests x ~1-20 s each); caching them
-# across pytest sessions cuts repeat runs severalfold. Compiled artifacts
-# key on the HLO + flags — but NOT on the host's CPU feature set, and a
-# serialized CPU executable AOT-compiled on a machine with more SIMD
-# features hard-aborts (SIGILL-class) when loaded on a lesser one (the
-# cpu_aot_loader "machine type doesn't match" warning is the precursor;
-# observed as a Fatal Python error in test_sharding after a host
-# migration). Key the cache dir by a fingerprint of the CPU flags so a
-# host change starts a fresh cache instead of loading a fatal one.
-def _host_fingerprint() -> str:
-    import hashlib
-    import platform
+# Persistent compilation cache: OPT-IN ONLY (MFM_TPU_TEST_CACHE=1).
+# It cuts repeat suite runs severalfold on this 1-core host, but it is
+# NOT safe by default: a mesh-sharded executable DESERIALIZED from the
+# cache hard-aborts (SIGABRT, no Python exception) when jax.enable_x64
+# has been toggled earlier in the same process — minimal repro is one
+# x64-context test followed by test_sharding's sharded step on a warm
+# cache; each alone passes, cold compiles always pass, and the abort
+# reproduces with jax_persistent_cache_enable_xla_caches both "all" and
+# "none", so it is the serialized-executable round-trip itself (upstream
+# jax/XLA CPU issue). A full-suite abort is strictly worse than slower
+# repeat runs, so correctness wins by default. The dir is additionally
+# keyed by a CPU-flags fingerprint so a host migration can never load
+# foreign AOT code.
+if os.environ.get("MFM_TPU_TEST_CACHE") == "1":
 
-    try:
-        with open("/proc/cpuinfo") as fh:
-            src = next(line for line in fh if line.startswith("flags"))
-    except (OSError, StopIteration):
-        src = platform.machine() + platform.processor()
-    return hashlib.sha1(src.encode()).hexdigest()[:10]
+    def _host_fingerprint() -> str:
+        import hashlib
+        import platform
 
+        try:
+            with open("/proc/cpuinfo") as fh:
+                src = next(line for line in fh if line.startswith("flags"))
+        except (OSError, StopIteration):
+            src = platform.machine() + platform.processor()
+        return hashlib.sha1(src.encode()).hexdigest()[:10]
 
-_cache_dir = os.path.join(
-    os.path.dirname(__file__), f".jax_cache-{_host_fingerprint()}"
-)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+    _cache_dir = os.path.join(
+        os.path.dirname(__file__), f".jax_cache-{_host_fingerprint()}"
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh; a backend was initialized "
