@@ -27,7 +27,12 @@ class TestBench:
         import bench
 
         # run main with the tiny benches monkeypatched in (the real detail
-        # benches run at benchmark sizes — hours on the 1-core CPU host)
+        # benches run at benchmark sizes — hours on the 1-core CPU host).
+        # wait_for_device probes the REAL accelerator in a subprocess that
+        # inherits the outer environment (not the suite's forced-CPU
+        # config) — with the tunnel unreachable it burns its full 900 s
+        # give-up budget, so stub it: this test checks the JSON contract
+        monkeypatch.setattr(bench, "wait_for_device", lambda *a, **k: True)
         monkeypatch.setattr(bench, "bench_mfm_4mode", lambda: {
             "steps_per_sec_scan": 100.0, "steps_per_sec_host_loop": 10.0,
             "speedup": 10.0,
