@@ -285,7 +285,23 @@ def wait_for_device(max_wait=900, probe_timeout=120):
 def main():
     import sys
 
-    wait_for_device()
+    if not wait_for_device():
+        # a wedged device makes every block_until_ready hang FOREVER —
+        # emit a machine-readable failure line and exit nonzero so the
+        # caller (the round driver) can retry, instead of hanging past
+        # its own timeout with nothing recorded
+        print(
+            json.dumps(
+                {
+                    "metric": "mfm_pines_train_iters_per_sec",
+                    "value": None,
+                    "unit": "iters/sec",
+                    "vs_baseline": None,
+                    "error": "device probe failed; accelerator wedged",
+                }
+            )
+        )
+        sys.exit(2)
     details = {"device": str(jax.devices()[0])}
 
     # --- headline: pines MFM steady training rate, median of 3 repeats.
