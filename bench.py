@@ -275,7 +275,7 @@ def wait_for_device(max_wait=900, probe_timeout=120):
         if time.time() > deadline:
             print(
                 "bench: device probe still failing after "
-                f"{max_wait}s — proceeding anyway", file=sys.stderr,
+                f"{max_wait}s — giving up", file=sys.stderr,
             )
             return False
         print("bench: device wedged, waiting for recovery...", file=sys.stderr)

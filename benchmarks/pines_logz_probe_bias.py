@@ -63,11 +63,19 @@ def main():
     out = {"train_time": run.train_time, "config": vars(args)}
 
     # -- 1. probe-noise magnitude ------------------------------------------
+    # explicitly the GAUSSIAN 1-probe transport: this measurement
+    # quantifies the noise of the estimator the 503.6 figure used, and
+    # run.transport now follows the preset (flipped to Rademacher as this
+    # study's consequence), so it must not be used here
+    gauss1 = make_transport(
+        run.apply_fn, divergence=cfg.divergence, n_steps=cfg.ode_steps,
+        method=cfg.ode_method, num_probes=1, probe_dist="gaussian",
+    )
     u = run.ref_dist.sample(jax.random.PRNGKey(7), (args.noise_points,))
 
     @jax.jit
     def logdet_at(key):
-        _, ld = run.transport.forward(run.train.params, u, key)
+        _, ld = gauss1.forward(run.train.params, u, key)
         return ld
 
     lds = np.stack([

@@ -158,7 +158,9 @@ def run_smc(
         state, da, inv_mass = carry
         params, inv_mass = mcmc_params_of(da, inv_mass, state.particles)
         state, info = algo.step(k, state, params)
-        # update_info stacks the inner scan's (num_mcmc_steps, N) acceptance
+        # update_info stacks the inner scan's acceptance —
+        # (num_mcmc_steps, N) standard, (P-1, N/P) waste-free — and dual
+        # averaging consumes the mean either way
         mean_acc = jnp.nan_to_num(jnp.mean(info.update_info), nan=0.0)
         da = da_update(da, mean_acc, target_acc)
         return (state, da, inv_mass), info

@@ -7,7 +7,7 @@ Parity with the reference training setup
   (:116-136)
 - gradient clipping chained after AdamW, with a finite-guard as the NaN
   defense (reference wraps in ``optax.apply_if_finite(..., 10)``,
-  :137,:184 — here re-implemented as fused selects, see ``finite_guard``)
+  :137,:184 — here folded into one fused update, see ``adamw_finite``)
 - linear warmup -> linear decay-to-zero LR schedule (:189-198)
 
 The train step itself lives in the drivers; this module only builds pure

@@ -20,7 +20,7 @@ class SMCState(NamedTuple):
 
 
 class SMCInfo(NamedTuple):
-    ancestors: jax.Array  # (N,)
+    ancestors: jax.Array  # (num_resampled,): (N,) standard, (M,) waste-free
     log_likelihood_increment: jax.Array  # scalar
     update_info: NamedTuple
 
