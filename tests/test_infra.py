@@ -242,3 +242,29 @@ class TestCLIVmapSeeds:
         )
         out = capsys.readouterr().out
         assert "logprob" in out
+
+
+class TestPackaging:
+    """pyproject.toml stays consistent with the package it ships."""
+
+    def test_entry_point_and_version(self):
+        import importlib
+        import pathlib
+        import tomllib
+
+        root = pathlib.Path(__file__).resolve().parents[1]
+        meta = tomllib.loads((root / "pyproject.toml").read_text())
+        proj = meta["project"]
+
+        import mfm_tpu
+
+        assert proj["version"] == mfm_tpu.__version__
+        # the console script must resolve to a callable
+        target = proj["scripts"]["mfm-tpu"]
+        mod_name, func_name = target.split(":")
+        mod = importlib.import_module(mod_name)
+        assert callable(getattr(mod, func_name))
+        # the pines dataset ships with the wheel
+        pat = meta["tool"]["setuptools"]["package-data"]["mfm_tpu.targets"]
+        assert pat == ["data/*.csv"]
+        assert (root / "mfm_tpu" / "targets" / "data" / "finpines.csv").exists()
