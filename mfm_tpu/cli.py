@@ -22,7 +22,9 @@ import jax.numpy as jnp
 from mfm_tpu.config import preset
 from mfm_tpu.drivers import evaluate_samples, run_mfm, run_smc, sample_flow
 from mfm_tpu.targets import (
+    Funnel,
     LogGaussianCoxPines,
+    ManyWell,
     PhiFour,
     four_mode_mixture,
     random_mixture,
@@ -39,6 +41,10 @@ def make_target(example: str):
         return PhiFour(64)
     if example == "pines":
         return LogGaussianCoxPines(1600)
+    if example == "funnel":
+        return Funnel(10)
+    if example == "many-well":
+        return ManyWell(32)
     raise ValueError(f"unknown example {example!r}")
 
 
@@ -231,7 +237,8 @@ def main(argv=None):
     )
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--example", default="4-mode",
-                   choices=["4-mode", "gaussian-mixture", "phi-four", "pines"])
+                   choices=["4-mode", "gaussian-mixture", "phi-four", "pines",
+                            "funnel", "many-well"])
     p.add_argument("--seed", type=int, default=None,
                    help="single seed; default replicates seeds i**10, i<10")
     p.add_argument("--mcmc-per-flow-steps", type=float, default=10.0)

@@ -25,6 +25,11 @@ class MFMConfig:
     fourier_std: float = 1.0
     non_linearity: str = "relu"
     grad_clip_score: float = 1.0  # applied to the score gate when dim > 128
+    # None = the reference's dim > 128 rule; True/False forces the score-gate
+    # clip on/off. Targets with exploding scores at any dim (Neal's funnel:
+    # |d/dx log p| ~ exp(-v) in the neck) need True or tail latents diverge
+    # through the transport.
+    clip_score: Optional[bool] = None
     # fused weight-resident Pallas apply for the CNF transport (mid-size
     # fields whose weights fit VMEM; relu/tanh). Falls back to XLA when the
     # guard fails, or when field_precision != 'highest' (the kernel computes
@@ -116,8 +121,9 @@ class MFMConfig:
     @property
     def score_clip(self) -> Optional[float]:
         """Score-gate clipping activates above dim 128 (reference
-        exe_flow_matching.py:351)."""
-        return self.grad_clip_score if self.dim > 128 else None
+        exe_flow_matching.py:351) unless ``clip_score`` forces it."""
+        on = self.dim > 128 if self.clip_score is None else self.clip_score
+        return self.grad_clip_score if on else None
 
     @property
     def divergence(self) -> str:
@@ -202,6 +208,24 @@ def preset(example: str, **overrides) -> MFMConfig:
         # probes zero the diagonal variance term and recover the unbiased
         # answer at identical cost.
         cfg.eval_probe_dist = "rademacher"
+    elif example == "funnel":
+        # beyond-reference example: the reference reaches Neal's funnel only
+        # through the fabjax baseline configs (config/funnel.yaml); here it
+        # runs the full MFM pipeline. dim/sigma follow the FAB setup.
+        cfg.dim = 10
+        cfg.step_size = 0.1
+        cfg.lim = (-8.0, 8.0)
+        cfg.learning_iter = 2000
+        # the funnel score explodes like exp(-v) in the neck at any dim;
+        # unclipped, tail latents diverge through the transport at eval
+        cfg.clip_score = True
+    elif example == "many-well":
+        # beyond-reference example (reference config/many_well.yaml is
+        # fabjax-only). dim=32 = 16 double-well pairs, 2^16 modes.
+        cfg.dim = 32
+        cfg.step_size = 0.02
+        cfg.lim = (-3.0, 3.0)
+        cfg.learning_iter = 2000
     else:
         raise ValueError(f"unknown example {example!r}")
     for k, v in overrides.items():

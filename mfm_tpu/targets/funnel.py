@@ -75,3 +75,38 @@ class ManyWell(Target):
 
     def init_positions(self, key, n_chain):
         return jax.random.normal(key, (n_chain, self.dim))
+
+    # inverse-CDF grid for the x1 marginal. The per-well density factorizes
+    # as p(x1) * N(x2; 0, 1) with p(x1) ∝ exp(-x1^4 + 6 x1^2 + x1/2), a 1-D
+    # quartic exponential: outside |x1| <= 3.5 the density is < e^-80 of the
+    # mode, so a dense trapezoid CDF on [-3.5, 3.5] is exact to f32.
+    _GRID_N = 8193
+    _GRID_LIM = 3.5
+
+    def _x1_cdf_grid(self):
+        grid = jnp.linspace(-self._GRID_LIM, self._GRID_LIM, self._GRID_N)
+        logp = -(grid**4) + 6.0 * grid**2 + 0.5 * grid
+        p = jnp.exp(logp - jnp.max(logp))
+        # trapezoid cumulative integral, normalized
+        cdf = jnp.concatenate(
+            [jnp.zeros((1,)), jnp.cumsum(0.5 * (p[1:] + p[:-1]))]
+        )
+        return grid, cdf / cdf[-1]
+
+    def sample(self, key, shape=()):
+        """Exact sampler: iid inverse-CDF draws of x1 per well + N(0,1) x2.
+
+        New capability vs the reference (many-well appears there only as a
+        fabjax config, /root/reference/config/many_well.yaml): ground-truth
+        samples enable the MMD metric for this target.
+        """
+        n_wells = self.dim // 2
+        grid, cdf = self._x1_cdf_grid()
+        k1, k2 = jax.random.split(key)
+        u = jax.random.uniform(k1, shape + (n_wells,))
+        hi = jnp.clip(jnp.searchsorted(cdf, u), 1, self._GRID_N - 1)
+        c_lo, c_hi = cdf[hi - 1], cdf[hi]
+        frac = (u - c_lo) / jnp.maximum(c_hi - c_lo, 1e-30)
+        x1 = grid[hi - 1] + frac * (grid[hi] - grid[hi - 1])
+        x2 = jax.random.normal(k2, shape + (n_wells,))
+        return jnp.stack([x1, x2], axis=-1).reshape(shape + (self.dim,))

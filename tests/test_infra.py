@@ -268,3 +268,27 @@ class TestPackaging:
         pat = meta["tool"]["setuptools"]["package-data"]["mfm_tpu.targets"]
         assert pat == ["data/*.csv"]
         assert (root / "mfm_tpu" / "targets" / "data" / "finpines.csv").exists()
+
+
+class TestNewExamplesCLI:
+    """funnel / many-well as first-class --example values (beyond the
+    reference's four; it reaches these targets only through fabjax configs)."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("example", ["funnel", "many-well"])
+    def test_smoke(self, example, tmp_path, capsys, monkeypatch):
+        from mfm_tpu import cli
+
+        monkeypatch.chdir(tmp_path)
+        cli.main(
+            [
+                "--example", example, "--seed", "0",
+                "--learning-iter", "30", "--num-chain", "16",
+                "--ode-steps", "4", "--chunk-size", "15",
+                "--run-dir", str(tmp_path / "runs"),
+                "--set", "fourier_dim=8",
+                "--set", "hidden_x=(16,)",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "logprob" in out and "\\pm" in out

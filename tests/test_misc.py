@@ -1,6 +1,7 @@
 """Coverage for remaining utilities: pytree helpers, eval aggregation,
 flow progression, waste-free SMC, window adaptation with NUTS, resampler
 choices inside SMC."""
+import os
 
 import jax
 import jax.numpy as jnp
@@ -135,3 +136,32 @@ class TestWeightedEval:
         m = evaluate_samples(target, xs, xs, log_weights=lw)
         # uniform weights -> weighted == unweighted
         np.testing.assert_allclose(m["stein_u_weighted"], m["stein_u"], rtol=1e-4)
+
+
+class TestImportPurity:
+    """Importing the library must not initialize any JAX backend.
+
+    A module-level jnp constant anywhere in mfm_tpu initializes whatever
+    platform the environment presets — and over a wedged device tunnel the
+    initialization HANGS, so `import mfm_tpu.cli` would block before user
+    code could force a healthy platform (this regressed once via a jnp
+    Butcher tableau in flows/ode.py)."""
+
+    @pytest.mark.slow
+    def test_import_initializes_no_backend(self):
+        import subprocess
+        import sys
+
+        env = dict(os.environ, JAX_PLATFORMS="bogus")
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import mfm_tpu.cli, mfm_tpu.drivers, mfm_tpu.flows.ode; print('PURE')"],
+            capture_output=True, text=True, timeout=240, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr
+        assert "PURE" in r.stdout
+        # backend init under JAX_PLATFORMS=bogus raises/warns; neither may
+        # happen during a plain library import
+        assert "Unknown backend" not in r.stderr
+        assert "experimental" not in r.stderr

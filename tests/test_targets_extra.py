@@ -174,3 +174,56 @@ class TestPriorReference:
         ref = PriorReference(PhiFour(8))
         with pytest.raises(NotImplementedError):
             ref.sample(key, (2,))
+
+
+class TestManyWellSampler:
+    def test_inverse_cdf_matches_quadrature(self, key):
+        """Exact x1-marginal sampler: moments + mode weight vs quadrature."""
+        mw = ManyWell(dim=8)
+        s = mw.sample(key, (30000,))
+        assert s.shape == (30000, 8)
+        pairs = np.asarray(s).reshape(-1, 4, 2)
+        x1, x2 = pairs[..., 0].ravel(), pairs[..., 1].ravel()
+
+        g = np.linspace(-3.5, 3.5, 100001)
+        lp = -(g**4) + 6 * g**2 + 0.5 * g
+        p = np.exp(lp - lp.max())
+        p /= np.trapezoid(p, g)
+        m1 = np.trapezoid(g * p, g)
+        m2 = np.trapezoid(g * g * p, g)
+        p_pos = np.trapezoid(p[g > 0], g[g > 0])
+
+        np.testing.assert_allclose(x1.mean(), m1, atol=0.02)
+        np.testing.assert_allclose(x1.var(), m2 - m1**2, rtol=0.03)
+        np.testing.assert_allclose((x1 > 0).mean(), p_pos, atol=0.01)
+        np.testing.assert_allclose(x2.mean(), 0.0, atol=0.02)
+        np.testing.assert_allclose(x2.var(), 1.0, rtol=0.03)
+
+    def test_can_sample(self):
+        assert ManyWell(4).can_sample
+        assert Funnel(4).can_sample
+
+
+class TestNewExamplePresets:
+    def test_funnel_preset_clips_score(self):
+        from mfm_tpu.config import preset
+
+        cfg = preset("funnel")
+        assert cfg.dim == 10
+        # the funnel score explodes in the neck at any dim; the preset must
+        # force the score-gate clip despite dim <= 128
+        assert cfg.score_clip is not None
+
+    def test_clip_score_override(self):
+        from mfm_tpu.config import MFMConfig
+
+        assert MFMConfig(dim=10).score_clip is None          # reference rule
+        assert MFMConfig(dim=1600).score_clip is not None    # reference rule
+        assert MFMConfig(dim=10, clip_score=True).score_clip is not None
+        assert MFMConfig(dim=1600, clip_score=False).score_clip is None
+
+    def test_many_well_preset(self):
+        from mfm_tpu.config import preset
+
+        cfg = preset("many-well")
+        assert cfg.dim == 32 and cfg.dim % 2 == 0
