@@ -164,6 +164,85 @@ def bench_pines_move_quality(n_train=4000, n_eval=512, n_moves=50):
     }
 
 
+def bench_new_examples(n_eval=4096, smc_particles=2048, smc_steps=32,
+                       train_iter=None):
+    """Beyond-reference examples end to end: funnel + many-well quality,
+    and the many-well flow-SMC log-normalizer against quadrature truth
+    (the d=32 many-well logZ is exactly computable: logZ = 16 * (log
+    \\int exp(-x^4+6x^2+x/2) dx + 0.5 log 2pi))."""
+    import numpy as np
+
+    from mfm_tpu.cli import make_target
+    from mfm_tpu.config import preset
+    from mfm_tpu.drivers import evaluate_samples, run_mfm, sample_flow
+    from mfm_tpu.drivers.flow_smc import run_flow_smc
+    from mfm_tpu.drivers.mfm import mala_move_correct
+
+    out = {}
+    runs = {}
+    for ex in ("funnel", "many-well"):
+        cfg = preset(ex, seed=0)
+        if train_iter is not None:  # tiny sizes for the contract test
+            cfg.learning_iter = train_iter
+            cfg.num_chain = 32
+        target = make_target(ex)
+        t0 = time.time()
+        run = run_mfm(target, cfg)
+        jax.block_until_ready(run.train.params)
+        t_train = time.time() - t0
+        fs, es, _ = sample_flow(run, jax.random.PRNGKey(1), n_eval, target)
+        real = target.sample(jax.random.PRNGKey(2), (n_eval,))
+        m = evaluate_samples(target, fs, es, real)
+        out[ex] = {
+            "train_time_s": t_train,
+            "stein_u": float(m["stein_u"]),
+            "stein_u_star": float(m["stein_u_star"]),
+            "mmd": float(m["mmd"]),
+        }
+        runs[ex] = (run, cfg, target)
+
+    # many-well: flow-SMC normalizer vs quadrature truth, then the move
+    # correction on the resampled ensemble (mode weights are the hard part:
+    # 2^16 modes whose relative mass the raw IS correction cannot fix)
+    g = np.linspace(-4.0, 4.0, 400001)
+    lp = -(g**4) + 6.0 * g**2 + 0.5 * g
+    log_i = lp.max() + np.log(np.trapezoid(np.exp(lp - lp.max()), g))
+    logz_true = 16.0 * (log_i + 0.5 * np.log(2.0 * np.pi))
+    run, cfg, target = runs["many-well"]
+    t0 = time.time()
+    r = run_flow_smc(
+        target, cfg, run.transport, run.train.params, run.ref_dist,
+        key=jax.random.PRNGKey(100), n_particles=smc_particles,
+        n_steps=smc_steps,
+    )
+    jax.block_until_ready(r.samples)
+    t_smc = time.time() - t0
+    key_pick = jax.random.PRNGKey(200)
+    idx = jax.random.categorical(
+        key_pick, jnp.log(r.weights), shape=(smc_particles,)
+    )
+    moved = mala_move_correct(
+        r.samples[idx], target, jax.random.fold_in(key_pick, 1),
+        n_moves=100, init_step=cfg.step_size,
+    )
+    real = target.sample(jax.random.PRNGKey(300), (smc_particles,))
+    m = evaluate_samples(target, moved, moved, real)
+    pairs = np.asarray(moved).reshape(-1, 16, 2)
+    p_true = float(np.trapezoid(np.exp(lp - lp.max())[g > 0], g[g > 0])
+                   / np.trapezoid(np.exp(lp - lp.max()), g))
+    out["many_well_flow_smc"] = {
+        "log_z": float(r.log_z),
+        "log_z_true": float(logz_true),
+        "lmbda": float(r.lmbda),
+        "smc_time_s": t_smc,
+        "stein_u_moved": float(m["stein_u"]),
+        "mmd_moved": float(m["mmd"]),
+        "p_x1_pos_moved": float((pairs[..., 0] > 0).mean()),
+        "p_x1_pos_true": p_true,
+    }
+    return out
+
+
 def bench_phi_four_mala(n_chain=1024, n_steps=2000):
     from mfm_tpu.kernels import mala
     from mfm_tpu.targets import PhiFour
@@ -352,6 +431,7 @@ def main():
             "phi-four", 300, mcmc_per_flow_steps=100.0)),
         ("chain_scaling", bench_chain_scaling),
         ("pines_flow_smc", bench_pines_flow_smc),
+        ("new_examples", bench_new_examples),
     ] + (
         # a 4000-iteration pines training run: hours on the 1-core CPU host,
         # so opt-in only (BENCH_QUALITY=1 python bench.py)

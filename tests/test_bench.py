@@ -58,6 +58,12 @@ class TestBench:
             lambda: {"train_time": 1.0, "smc_time": 1.0, "lmbda": 1.0,
                      "log_z": 500.0, "ess_fraction": 1.0},
         )
+        monkeypatch.setattr(
+            bench, "bench_new_examples",
+            lambda: {"funnel": {"stein_u": 1.0},
+                     "many_well_flow_smc": {"log_z": 164.0,
+                                            "log_z_true": 164.7}},
+        )
         monkeypatch.chdir(tmp_path)
         bench.main()
         first_line = capsys.readouterr().out.strip().splitlines()[0]
