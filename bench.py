@@ -233,6 +233,9 @@ def bench_new_examples(n_eval=4096, smc_particles=2048, smc_steps=32,
     out["many_well_flow_smc"] = {
         "log_z": float(r.log_z),
         "log_z_true": float(logz_true),
+        # quadrature E[log p] under the true posterior = 16*(E[w]-1/2):
+        # 137.20 — the moved ensemble should match it
+        "logpdf_moved": float(m["logpdf"]),
         "lmbda": float(r.lmbda),
         "smc_time_s": t_smc,
         "stein_u_moved": float(m["stein_u"]),
