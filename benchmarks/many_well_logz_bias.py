@@ -1,0 +1,165 @@
+"""Root-cause the many-well flow-SMC logZ bias: discrete-map logdet error.
+
+The inner-moves dose-response (benchmarks/many_well_inner_moves.py) showed
+the -1.3 +/- 0.3 nat bias on the d=32 many-well logZ (truth 164.696 by
+quadrature) is FLAT in the number of inner MCMC moves — refuting the
+under-equilibration attribution in RESULTS.md. The remaining suspect is the
+transport's log-determinant: flows/cnf.py integrates the field divergence
+along the fixed-grid RK4 trajectory, which is a 4th-order estimate of the
+*continuous* flow's logdet — but the particles are pushed by the *discrete*
+RK4 map, whose exact log-Jacobian differs by a deterministic O(h^4)
+function of u. Since the pullback density used for tempering is
+q0(u) exp(ell(u)) with ell = log pi(T_h(u)) + logdet_est(u) - log q0(u),
+the population logZ it anneals to is
+
+    log Z_est = log Z + log E_{rho1}[exp(Delta)],   Delta = logdet_est - logdet_disc
+
+where logdet_disc = log|det dT_h/du| is the exact Jacobian of the discrete
+map. A nonzero mean Delta is a *bias*, invisible to seed replication.
+
+This script measures it three ways on one trained many-well flow (seed 0):
+
+1. Direct Delta: for M latents (both fresh q0 draws and annealed rho1
+   particles), logdet_est (augmented-ODE divergence integral) vs
+   logdet_disc (slogdet of jacfwd of the discrete forward map — exact at
+   d=32). Prediction if this is the mechanism: mean Delta under rho1
+   ~ -1.3 nats, matching the measured logZ bias.
+2. Grid dose-response of Delta at n_steps in {24, 48, 96}: O(h^4) decay.
+3. End-to-end: flow-SMC logZ (num_mcmc_steps=4, 3 seeds) with the
+   transport rebuilt at n_steps in {48, 96}; the bias should track the
+   Delta means from (2).
+
+Usage: python benchmarks/many_well_logz_bias.py [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mfm_tpu.cli import make_target
+from mfm_tpu.config import preset
+from mfm_tpu.drivers import run_mfm
+from mfm_tpu.drivers.flow_smc import run_flow_smc
+from mfm_tpu.flows.cnf import make_transport
+
+
+def quadrature_truth():
+    g = np.linspace(-4.0, 4.0, 400001)
+    lp = -(g**4) + 6.0 * g**2 + 0.5 * g
+    log_i = lp.max() + np.log(np.trapezoid(np.exp(lp - lp.max()), g))
+    return 16.0 * (log_i + 0.5 * np.log(2.0 * np.pi))
+
+
+def delta_stats(transport, params, u, batch=64):
+    """(mean, std, mean_exp_delta) of Delta = logdet_est - logdet_disc."""
+
+    def fwd_single(u1):
+        x, _ = transport.forward(params, u1[None], None)
+        return x[0]
+
+    def one(u1):
+        jac = jax.jacfwd(fwd_single)(u1)
+        _, logdet_disc = jnp.linalg.slogdet(jac)
+        return logdet_disc
+
+    logdet_disc = []
+    logdet_est = []
+    for i in range(0, u.shape[0], batch):
+        ub = u[i : i + batch]
+        logdet_disc.append(jax.vmap(one)(ub))
+        logdet_est.append(transport.forward(params, ub, None)[1])
+    d_disc = jnp.concatenate(logdet_disc)
+    d_est = jnp.concatenate(logdet_est)
+    delta = d_est - d_disc
+    return {
+        "mean": float(jnp.mean(delta)),
+        "std": float(jnp.std(delta)),
+        # log E[exp(Delta)] is the exact first-order logZ tilt
+        "log_mean_exp": float(
+            jax.scipy.special.logsumexp(delta) - jnp.log(delta.shape[0])
+        ),
+    }
+
+
+def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
+    logz_true = quadrature_truth()
+    cfg = preset("many-well", seed=0)
+    target = make_target("many-well")
+
+    t0 = time.time()
+    run = run_mfm(target, cfg)
+    jax.block_until_ready(run.train.params)
+    t_train = time.time() - t0
+    params = run.train.params
+
+    # rho1-ish latents: one quick anneal at the preset grid
+    base = run_flow_smc(
+        target, cfg, run.transport, params, run.ref_dist,
+        key=jax.random.PRNGKey(100), n_particles=4096, n_steps=32,
+        num_mcmc_steps=4,
+    )
+    rho1_u = base.latent[:256]
+    q0_u = run.ref_dist.sample(jax.random.PRNGKey(7), (256,))
+
+    out = {
+        "log_z_true": float(logz_true),
+        "train_time_s": round(t_train, 2),
+        "base_log_z_grid24": float(base.log_z),
+        "delta": {},
+        "e2e": [],
+    }
+
+    # (1)+(2): Delta under q0 and rho1 at three grids
+    for n_steps in (24, 48, 96):
+        tr = make_transport(
+            run.apply_fn, divergence=cfg.divergence, n_steps=n_steps,
+            method=cfg.ode_method,
+        )
+        out["delta"][str(n_steps)] = {
+            "q0": delta_stats(tr, params, q0_u),
+            "rho1": delta_stats(tr, params, rho1_u),
+        }
+        print(n_steps, out["delta"][str(n_steps)], flush=True)
+
+    # (3): end-to-end logZ at finer transport grids
+    for n_steps in (48, 96):
+        tr = make_transport(
+            run.apply_fn, divergence=cfg.divergence, n_steps=n_steps,
+            method=cfg.ode_method,
+        )
+        for smc_seed in (100, 101, 102):
+            r = run_flow_smc(
+                target, cfg, tr, params, run.ref_dist,
+                key=jax.random.PRNGKey(smc_seed), n_particles=4096,
+                n_steps=32, num_mcmc_steps=4,
+            )
+            jax.block_until_ready(r.samples)
+            row = {
+                "ode_steps": n_steps,
+                "smc_seed": smc_seed,
+                "log_z": float(r.log_z),
+                "bias": float(r.log_z) - float(logz_true),
+                "lmbda": float(r.lmbda),
+            }
+            out["e2e"].append(row)
+            print(row, flush=True)
+
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=2)
+    for n_steps in (48, 96):
+        b = [r["bias"] for r in out["e2e"] if r["ode_steps"] == n_steps]
+        print(
+            f"grid {n_steps}: bias {np.mean(b):+.3f} +/- {np.std(b):.3f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
