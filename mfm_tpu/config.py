@@ -45,6 +45,14 @@ class MFMConfig:
 
     # CNF transport
     hutchinson: bool = False
+    # None derives the estimator from ``hutchinson``; or force one of
+    # 'exact' | 'hutchinson' | 'exact_disc'. 'exact_disc' uses the exact
+    # log-Jacobian of the DISCRETE integrator map (flows/cnf.py), removing
+    # the O(h^p) continuous-vs-discrete logdet bias that tilts IS weights
+    # and the flow-SMC log-normalizer (measured -1.2 nats on the d=32
+    # many-well at 24 RK4 steps); small-d only — it materializes a
+    # (B, d, d) Jacobian.
+    divergence_mode: Optional[str] = None
     ode_steps: int = 24
     ode_method: str = "rk4"
     field_precision: str = "highest"  # 'default' = bf16 MXU (2x less HBM traffic)
@@ -127,6 +135,13 @@ class MFMConfig:
 
     @property
     def divergence(self) -> str:
+        if self.divergence_mode is not None:
+            allowed = ("exact", "hutchinson", "exact_disc")
+            if self.divergence_mode not in allowed:
+                raise ValueError(
+                    f"divergence_mode={self.divergence_mode!r} not in {allowed}"
+                )
+            return self.divergence_mode
         return "hutchinson" if self.hutchinson else "exact"
 
     def resolved_adaptation(self) -> Tuple[bool, bool, float]:

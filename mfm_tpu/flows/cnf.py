@@ -21,6 +21,22 @@ Divergence estimators (reference exe_flow_matching.py:211-217):
                  (O(d) extra forward passes; use for small d)
 - ``hutchinson`` one Gaussian probe per sample per transform, a single
                  batched JVP per stage (the d > threshold default)
+- ``exact_disc`` exact log|det| of the **discrete integrator map** itself
+                 (no reference counterpart): one ``jax.linearize`` of the
+                 whole fixed-grid map + d batched tangent columns + a
+                 batched ``slogdet``. Both estimators above approximate the
+                 *continuous* flow's logdet; the particles, however, are
+                 moved by the discrete RK4/heun map T_h, whose exact
+                 log-Jacobian differs by a deterministic O(h^p) amount
+                 Delta(u). Any density built from the continuous estimate —
+                 IS weights, flow-MH acceptance, flow-SMC tempering — then
+                 targets a tilted surrogate whose normalizer is off by
+                 log E[exp(Delta)], a bias invisible to seed replication
+                 (measured: -1.2 nats on the d=32 many-well at 24 RK4
+                 steps, RESULTS_raw_many_well_logz_bias.json). ``exact_disc``
+                 removes it identically at ~the same FLOP count as
+                 ``exact`` (d whole-map JVPs vs d per-stage JVPs) plus a
+                 (B, d, d) slogdet — small-d only by memory.
 """
 
 from typing import Callable, NamedTuple, Optional
@@ -75,6 +91,29 @@ def hutchinson_divergence(apply_fn: Callable) -> Callable:
     return div
 
 
+def discrete_map_logdet(pos_map: Callable, u: jax.Array):
+    """(x, log|det d pos_map / du|) of a batched discrete map, exactly.
+
+    One ``jax.linearize`` shares the primal integration across all d tangent
+    pushes (each a whole-ensemble (B, d) pass, scanned so the program size
+    stays O(1) in d), then a batched ``slogdet`` of the assembled (B, d, d)
+    Jacobian. Exact for the map actually applied to the particles — unlike
+    the augmented-ODE divergence integral, which estimates the continuous
+    flow's logdet and carries a deterministic O(h^p) discretization bias.
+    """
+    x, f_jvp = jax.linearize(pos_map, u)
+
+    def body(_, i):
+        e = jnp.zeros_like(u).at[:, i].set(1.0)
+        return None, f_jvp(e)
+
+    _, cols = jax.lax.scan(body, None, jnp.arange(u.shape[-1]))
+    # cols[i] = J @ e_i of shape (B, d)  ->  jac[b, :, i]
+    jac = jnp.moveaxis(cols, 0, -1)
+    _, logdet = jnp.linalg.slogdet(jac)
+    return x, logdet
+
+
 class Transport(NamedTuple):
     """Batched CNF transport functions.
 
@@ -106,6 +145,8 @@ def make_transport(
     diagonal contribution); use more probes at evaluation time where the
     logdet noise otherwise destroys the IS weights.
     """
+    if divergence == "exact_disc":
+        return _make_exact_disc_transport(apply_fn, n_steps, method)
     div_fn = {
         "exact": exact_divergence,
         "hutchinson": hutchinson_divergence,
@@ -161,6 +202,61 @@ def make_transport(
         xs, _ = odeint_grid_save(
             _fwd_dyn(params, _probe(key, u)), y0, save_ts, n_steps, method
         )
+        return xs
+
+    return Transport(forward, inverse, forward_traj)
+
+
+def _make_exact_disc_transport(
+    apply_fn: Callable, n_steps: int, method: str
+) -> Transport:
+    """Transport whose logdet is the exact log-Jacobian of the discrete map.
+
+    Same (x, logdet) contract and sign convention as the augmented-ODE
+    paths: ``forward`` returns log|det dx/du| of the forward map, and
+    ``inverse`` returns that same quantity, i.e. −log|det du/dx| of the
+    reverse map. PRNG keys are accepted and ignored (no probes).
+    """
+
+    def _pos_fwd(params):
+        def pos(u):
+            def dyn(x, t):
+                tb = jnp.full(x.shape[:1], t, x.dtype)
+                return apply_fn(params, x, tb)
+
+            return odeint_grid(dyn, u, 0.0, 1.0, n_steps, method)
+
+        return pos
+
+    def _pos_inv(params):
+        def pos(x):
+            def dyn(y, s):
+                tb = jnp.full(y.shape[:1], 1.0 - s, y.dtype)
+                return -apply_fn(params, y, tb)
+
+            return odeint_grid(dyn, x, 0.0, 1.0, n_steps, method)
+
+        return pos
+
+    def forward(params, u, key: Optional[jax.Array] = None):
+        del key
+        return discrete_map_logdet(_pos_fwd(params), u)
+
+    def inverse(params, x, key: Optional[jax.Array] = None):
+        del key
+        u, logdet_rev = discrete_map_logdet(_pos_inv(params), x)
+        return u, -logdet_rev
+
+    def forward_traj(params, u, save_ts, key: Optional[jax.Array] = None):
+        del key
+        y0 = (u, jnp.zeros(u.shape[:1], u.dtype))
+
+        def dyn(y, t):
+            x, _ = y
+            tb = jnp.full(x.shape[:1], t, x.dtype)
+            return apply_fn(params, x, tb), jnp.zeros(x.shape[:1], x.dtype)
+
+        xs, _ = odeint_grid_save(dyn, y0, save_ts, n_steps, method)
         return xs
 
     return Transport(forward, inverse, forward_traj)

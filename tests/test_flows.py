@@ -117,6 +117,66 @@ class TestCNFLogdet:
         ld_mean = ld.reshape(4, reps).mean(axis=1)
         np.testing.assert_allclose(ld_mean, ld_exact, atol=0.06)
 
+    def test_exact_disc_matches_jacfwd_slogdet(self, key):
+        """exact_disc IS the slogdet of the discrete map's Jacobian — even
+        on a coarse grid where the continuous divergence integral differs.
+        """
+        target = four_mode_mixture()
+        apply_fn, params = make_vector_field(
+            key, 2, score_fn=target.score, hidden_x=(16,), hidden_t=(16,),
+            hidden_xt=(16,), fourier_dim=8,
+        )
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.08 * jnp.ones_like(p), params
+        )
+        disc_t = make_transport(apply_fn, divergence="exact_disc", n_steps=2)
+        cont_t = make_transport(apply_fn, divergence="exact", n_steps=2)
+        u = jax.random.normal(jax.random.fold_in(key, 1), (6, 2))
+        x_d, ld_d = disc_t.forward(params, u)
+        x_c, ld_c = cont_t.forward(params, u)
+        # identical positions: both push through the same discrete map
+        np.testing.assert_allclose(x_d, x_c, rtol=1e-6, atol=1e-6)
+
+        def fwd_single(u1):
+            x, _ = disc_t.forward(params, u1[None])
+            return x[0]
+
+        _, ld_true = jnp.linalg.slogdet(jax.vmap(jax.jacfwd(fwd_single))(u))
+        np.testing.assert_allclose(ld_d, ld_true, rtol=1e-5, atol=1e-5)
+        # the continuous estimate is NOT the discrete map's logdet at 2 steps
+        assert float(jnp.max(jnp.abs(ld_c - ld_true))) > 1e-4
+
+    def test_exact_disc_inverse_roundtrip(self, key):
+        """inverse returns log|det dx/du| of its own reverse map (sign
+        convention parity with the augmented-ODE paths)."""
+        target = four_mode_mixture()
+        apply_fn, params = make_vector_field(
+            key, 2, score_fn=target.score, hidden_x=(16,), hidden_t=(16,),
+            hidden_xt=(16,), fourier_dim=8,
+        )
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * jnp.ones_like(p), params
+        )
+        transport = make_transport(
+            apply_fn, divergence="exact_disc", n_steps=24
+        )
+        u = jax.random.normal(jax.random.fold_in(key, 2), (8, 2))
+        x, ld_f = transport.forward(params, u)
+        u_back, ld_b = transport.inverse(params, x)
+        np.testing.assert_allclose(u_back, u, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(ld_b, ld_f, rtol=1e-3, atol=1e-3)
+
+    def test_divergence_mode_config(self):
+        from mfm_tpu.config import MFMConfig
+
+        assert MFMConfig(hutchinson=True).divergence == "hutchinson"
+        assert (
+            MFMConfig(hutchinson=True, divergence_mode="exact_disc").divergence
+            == "exact_disc"
+        )
+        with pytest.raises(ValueError):
+            _ = MFMConfig(divergence_mode="bogus").divergence
+
     def test_zero_init_net_is_near_score_free_identity(self, key):
         """Zero-initialized heads make v ~= 0 => flow ~= identity, logdet ~= 0."""
         apply_fn, params = make_vector_field(key, 2, score_fn=None)
