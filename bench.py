@@ -364,35 +364,126 @@ def wait_for_device(max_wait=900, probe_timeout=120):
         time.sleep(30)
 
 
-def main():
-    import sys
-
-    if not wait_for_device():
-        # a wedged device makes every block_until_ready hang FOREVER —
-        # emit a machine-readable failure line and exit nonzero so the
-        # caller (the round driver) can retry, instead of hanging past
-        # its own timeout with nothing recorded
-        print(
-            json.dumps(
-                {
-                    "metric": "mfm_pines_train_iters_per_sec",
-                    "value": None,
-                    "unit": "iters/sec",
-                    "vs_baseline": None,
-                    "error": "device probe failed; accelerator wedged",
-                }
-            )
-        )
-        sys.exit(2)
-    details = {"device": str(jax.devices()[0])}
-
-    # --- headline: pines MFM steady training rate, median of 3 repeats.
+# --- bench registry: name -> (module attr, args, kwargs), resolved lazily
+# through globals() at call time so tests can monkeypatch the functions.
+_CHILD_TAG = "BENCHCHILD:"
+_BENCHES = {
+    # headline: pines MFM steady training rate, median of 3 repeats.
     # 2000 iters (was 200 through round 2): a 200-iter scan pays ~35 ms of
     # launch/stacking overhead against 165 ms of compute (-16% reported
     # rate) and fits only one flow step of the 1:101 interleave; 2000
     # amortizes the overhead and carries the steady 0.99% flow fraction
-    pines = bench_mfm_steady("pines", n_iter=2000, mcmc_per_flow_steps=100.0)
-    details["mfm_pines_steady"] = pines
+    "headline": ("bench_mfm_steady", ("pines",),
+                 {"n_iter": 2000, "mcmc_per_flow_steps": 100.0}),
+    "mfm_4mode": ("bench_mfm_4mode", (), {}),
+    "phi_four_mala": ("bench_phi_four_mala", (), {}),
+    "pines_mala": ("bench_pines_step", (), {}),
+    "mfm_phi_four_steady": ("bench_mfm_steady", ("phi-four", 300),
+                            {"mcmc_per_flow_steps": 100.0}),
+    "chain_scaling": ("bench_chain_scaling", (), {}),
+    "pines_flow_smc": ("bench_pines_flow_smc", (), {}),
+    "new_examples": ("bench_new_examples", (), {}),
+    # a 4000-iteration pines training run: hours on the 1-core CPU host,
+    # so opt-in only (BENCH_QUALITY=1 python bench.py)
+    "pines_move_quality": ("bench_pines_move_quality", (), {}),
+}
+
+
+def _call_bench(name):
+    attr, args, kwargs = _BENCHES[name]
+    out = globals()[attr](*args, **kwargs)
+    return {"device": str(jax.devices()[0]), "result": out}
+
+
+def run_bench_isolated(name, timeout=3000):
+    """Run one bench in a SUBPROCESS; return (payload | None, error | None).
+
+    Round-3 failure mode: the TPU worker crashed inside the headline run and
+    the JaxRuntimeError escaped main() with nothing recorded (BENCH_r03:
+    rc=1, parsed=null). Isolation fixes both halves of that: a crashed or
+    WEDGED child (hung fetch, unkillable in-process) is reaped by the
+    timeout, and the parent — which never initializes the JAX backend —
+    stays healthy to retry and to emit the machine-readable result either
+    way. MFM_BENCH_INPROCESS=1 short-circuits to a direct call (test hook;
+    also lets monkeypatched bench functions take effect).
+    """
+    import subprocess
+    import sys
+
+    if os.environ.get("MFM_BENCH_INPROCESS"):
+        try:
+            return _call_bench(name), None
+        except Exception as e:
+            return None, repr(e)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", name],
+            capture_output=True, text=True, timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"bench child {name!r} timed out after {timeout}s"
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith(_CHILD_TAG):
+            try:
+                return json.loads(line[len(_CHILD_TAG):]), None
+            except ValueError:
+                break
+    tail = (r.stderr or r.stdout or "")[-500:]
+    return None, f"bench child {name!r} rc={r.returncode}: {tail}"
+
+
+def _child_main(name):
+    import sys
+
+    payload = _call_bench(name)
+    print(_CHILD_TAG + json.dumps(payload))
+    sys.stdout.flush()
+
+
+def _emit_headline_failure(error):
+    import sys
+
+    print(
+        json.dumps(
+            {
+                "metric": "mfm_pines_train_iters_per_sec",
+                "value": None,
+                "unit": "iters/sec",
+                "vs_baseline": None,
+                "error": error,
+            }
+        )
+    )
+    sys.exit(2)
+
+
+def main():
+    import sys
+
+    details = {}
+
+    # --- headline with crash recovery: probe the device, run the bench in
+    # an isolated child, and on ANY failure (crash, wedge, timeout) wait for
+    # device recovery and retry — a round with no recorded perf number is a
+    # round that did not happen (VERDICT round 3).
+    headline = None
+    err = "device probe failed; accelerator wedged"
+    for attempt in range(3):
+        if not wait_for_device(max_wait=900 if attempt == 0 else 300):
+            # a wedged device makes every in-process fetch hang FOREVER; the
+            # probe lives in a subprocess so this parent can still give up
+            # cleanly with a machine-readable line
+            continue
+        payload, err = run_bench_isolated("headline", timeout=3000)
+        if payload is not None:
+            headline = payload["result"]
+            details["device"] = payload.get("device")
+            break
+        print(f"bench: headline attempt {attempt + 1} failed: {err}",
+              file=sys.stderr)
+    if headline is None:
+        _emit_headline_failure(err)
+    details["mfm_pines_steady"] = headline
 
     # vs_baseline: measured rate of the UNMODIFIED reference on this
     # machine's CPU, x64 (benchmarks/run_reference.py artifact). 20.2 it/s is
@@ -418,37 +509,35 @@ def main():
         json.dumps(
             {
                 "metric": "mfm_pines_train_iters_per_sec",
-                "value": round(pines["iters_per_sec_median"], 2),
+                "value": round(headline["iters_per_sec_median"], 2),
                 "unit": "iters/sec",
-                "vs_baseline": round(pines["iters_per_sec_median"] / ref_rate, 3),
+                "vs_baseline": round(headline["iters_per_sec_median"] / ref_rate, 3),
             }
         )
     )
     sys.stdout.flush()
 
-    for name, fn in [
-        ("mfm_4mode", bench_mfm_4mode),
-        ("phi_four_mala", bench_phi_four_mala),
-        ("pines_mala", bench_pines_step),
-        ("mfm_phi_four_steady", lambda: bench_mfm_steady(
-            "phi-four", 300, mcmc_per_flow_steps=100.0)),
-        ("chain_scaling", bench_chain_scaling),
-        ("pines_flow_smc", bench_pines_flow_smc),
-        ("new_examples", bench_new_examples),
-    ] + (
-        # a 4000-iteration pines training run: hours on the 1-core CPU host,
-        # so opt-in only (BENCH_QUALITY=1 python bench.py)
-        [("pines_move_quality", bench_pines_move_quality)]
-        if os.environ.get("BENCH_QUALITY")
-        else []
-    ):
-        try:
-            details[name] = fn()
-        except Exception as e:  # secondary benches must not kill the headline
-            details[name] = {"error": repr(e)}
+    names = [
+        "mfm_4mode", "phi_four_mala", "pines_mala", "mfm_phi_four_steady",
+        "chain_scaling", "pines_flow_smc", "new_examples",
+    ] + (["pines_move_quality"] if os.environ.get("BENCH_QUALITY") else [])
+    for name in names:
+        payload, err = run_bench_isolated(name, timeout=2400)
+        if payload is not None:
+            details[name] = payload["result"]
+        else:  # secondary benches must not kill the headline
+            details[name] = {"error": err}
+            # a detail-bench crash often means the device wedged; re-probe
+            # before the next bench so one fault can't cascade through all
+            wait_for_device(max_wait=300)
         with open("BENCH_DETAILS.json", "w") as fh:
             json.dump(details, fh, indent=2)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        _child_main(sys.argv[2])
+    else:
+        main()

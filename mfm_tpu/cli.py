@@ -72,6 +72,7 @@ def run_one(target, cfg, args):
         (n for n in ("fab", "flowmc", "dds") if getattr(args, f"do_{n}", False)),
         None,
     )
+    run = None  # MFMRun when the plain MFM path executes (plots/full metrics)
     if args.do_smc:
         result = run_smc(target, cfg)
         flow_samples = exact_samples = result.particles
@@ -143,6 +144,15 @@ def run_one(target, cfg, args):
     )
     metrics["train_time"] = train_time
     log.summary(metrics)
+    if getattr(args, "plots", False):
+        from mfm_tpu.drivers.plots import make_run_figures
+
+        figs = make_run_figures(
+            target, cfg, flow_samples, exact_samples, run=run, key=key_eval
+        )
+        log.log_figures(figs)
+    if getattr(args, "full_metrics", False) and run is not None:
+        log.log_per_iteration(run.metrics)
     log.finish()
     flow_row = [
         metrics["logpdf"], metrics["stein_u"], metrics["stein_v"],
@@ -277,6 +287,18 @@ def main(argv=None):
                    help="evaluate KSD/MMD with the fused Pallas pairwise "
                         "kernels (2-5x faster at the 12.8k eval size on "
                         "v5e; coarser f32 accumulation — see drivers/eval)")
+    p.add_argument("--plots", action="store_true",
+                   help="save the reference's end-of-run figure set (pair "
+                        "scatters, phi-four fields, 2-D flow progression) "
+                        "as PNGs under the run dir; attached to wandb when "
+                        "--wandb is on (reference exe_flow_matching.py:"
+                        "492-559)")
+    p.add_argument("--full-metrics", action="store_true",
+                   help="dump per-ITERATION training metrics (loss/LR/"
+                        "acceptance/beta) to the JSONL/wandb stream instead "
+                        "of discarding them at chunk granularity; the scan "
+                        "already stacks them, so this costs one host "
+                        "transfer at the end")
     p.add_argument("--flow-smc", type=int, default=0, metavar="N",
                    help="replace the final IS correction with N adaptive "
                         "flow-annealed SMC steps in the flow's latent space "

@@ -122,6 +122,16 @@ class MFMConfig:
     grid_width: int = 400
     levels: int = 50
 
+    def __post_init__(self):
+        # fail at construction (dataclass, YAML, CLI --set) rather than at
+        # first transport build
+        allowed = (None, "exact", "hutchinson", "exact_disc")
+        if self.divergence_mode not in allowed:
+            raise ValueError(
+                f"divergence_mode={self.divergence_mode!r} not in "
+                f"{allowed[1:]}"
+            )
+
     @property
     def iter_per_temp(self) -> int:
         return max(self.anneal_iter // self.num_anneal_temp, 1)
@@ -135,12 +145,7 @@ class MFMConfig:
 
     @property
     def divergence(self) -> str:
-        if self.divergence_mode is not None:
-            allowed = ("exact", "hutchinson", "exact_disc")
-            if self.divergence_mode not in allowed:
-                raise ValueError(
-                    f"divergence_mode={self.divergence_mode!r} not in {allowed}"
-                )
+        if self.divergence_mode is not None:  # validated in __post_init__
             return self.divergence_mode
         return "hutchinson" if self.hutchinson else "exact"
 
@@ -247,6 +252,7 @@ def preset(example: str, **overrides) -> MFMConfig:
         if not hasattr(cfg, k):
             raise ValueError(f"unknown config field {k!r}")
         setattr(cfg, k, v)
+    cfg.__post_init__()  # overrides bypass dataclass init; re-validate
     return cfg
 
 
@@ -283,4 +289,5 @@ def from_yaml(path: str, **overrides) -> MFMConfig:
         if isinstance(getattr(cfg, k), tuple) and isinstance(v, list):
             v = tuple(v)
         setattr(cfg, k, v)
+    cfg.__post_init__()  # overrides bypass dataclass init; re-validate
     return cfg

@@ -109,3 +109,39 @@ def save_figs(figs, prefix: str):
         fig.savefig(path, dpi=120, bbox_inches="tight")
         paths.append(path)
     return paths
+
+
+def make_run_figures(target, cfg, flow_samples, exact_samples, run=None,
+                     key=None, max_scatter: int = 2048):
+    """End-of-run figure set, keyed by name (reference
+    exe_flow_matching.py:492-559):
+
+    - ``pairs``        per-(x0, x_i) scatter of flow vs IS-corrected samples,
+                       first 10 dims, 2-D contour overlay when available
+    - ``fields``       phi-four lattice field overlay (phi-four only)
+    - ``progression``  forward-transport snapshots at 5 times (2-D targets
+                       with a trained MFM run only)
+
+    ``run`` is an ``MFMRun`` (for the progression's transport/params/ref);
+    figure creation is host-side matplotlib — subsample the scatter inputs
+    to ``max_scatter`` points so a 12.8k-sample eval doesn't emit 10 MB
+    PNGs."""
+    figs = {}
+    fs = np.asarray(flow_samples)[:max_scatter]
+    es = np.asarray(exact_samples)[:max_scatter]
+    log_prob = target.log_prob if target.dim == 2 else None
+    figs["pairs"] = pair_scatter(
+        fs, es, lim=cfg.lim, log_prob_fn=log_prob,
+        grid_width=cfg.grid_width, levels=cfg.levels,
+    )
+    if cfg.example == "phi-four":
+        # reference plots the fields of 100 samples (:497)
+        figs["fields"] = phi_four_fields(fs[:100], es[:100])
+    if target.dim == 2 and run is not None:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        u = run.ref_dist.sample(key, (min(1024, fs.shape[0]),))
+        figs["progression"] = flow_progression(
+            run.transport, run.train.params, u, key=jax.random.fold_in(key, 1)
+        )
+    return figs

@@ -54,7 +54,14 @@ def exact_divergence(apply_fn: Callable) -> Callable:
     trace (exe_flow_matching.py:215-217) but each pass is one (B, d) batched
     JVP — whole-ensemble GEMMs on the MXU instead of B vmapped per-sample
     Jacobians, and no (B, d, d) Jacobian materialization. Also composes with
-    custom-JVP transports (the fused Pallas field)."""
+    custom-JVP transports (the fused Pallas field).
+
+    ASSUMES ``apply_fn`` is batch-decoupled: sample b's output depends only
+    on sample b's input (true for every vector field here — they are
+    per-sample MLPs mapped over the batch). A batch-coupled field (batch
+    norm, ensemble interactions) would make the batched-tangent trick
+    silently wrong: the extracted diagonal would mix cross-sample Jacobian
+    blocks. Shared with ``discrete_map_logdet``."""
 
     def div(params, x, t, probe=None):
         def body(acc, i):
@@ -100,6 +107,12 @@ def discrete_map_logdet(pos_map: Callable, u: jax.Array):
     Jacobian. Exact for the map actually applied to the particles — unlike
     the augmented-ODE divergence integral, which estimates the continuous
     flow's logdet and carries a deterministic O(h^p) discretization bias.
+
+    ASSUMES ``pos_map`` is batch-decoupled (see ``exact_divergence``): the
+    column push with e_i set across the WHOLE batch only assembles the true
+    per-sample (B, d, d) Jacobian when sample b's output is independent of
+    sample b' != b's input; a batch-coupled map would silently corrupt the
+    slogdet.
     """
     x, f_jvp = jax.linearize(pos_map, u)
 
@@ -249,15 +262,12 @@ def _make_exact_disc_transport(
 
     def forward_traj(params, u, save_ts, key: Optional[jax.Array] = None):
         del key
-        y0 = (u, jnp.zeros(u.shape[:1], u.dtype))
 
-        def dyn(y, t):
-            x, _ = y
+        def dyn(x, t):
             tb = jnp.full(x.shape[:1], t, x.dtype)
-            return apply_fn(params, x, tb), jnp.zeros(x.shape[:1], x.dtype)
+            return apply_fn(params, x, tb)
 
-        xs, _ = odeint_grid_save(dyn, y0, save_ts, n_steps, method)
-        return xs
+        return odeint_grid_save(dyn, u, save_ts, n_steps, method)
 
     return Transport(forward, inverse, forward_traj)
 

@@ -16,6 +16,11 @@ from jax import lax
 
 from mfm_tpu.kernels.base import ChainState, SamplingAlgorithm
 from mfm_tpu.kernels.mala import init  # same cached-state initializer
+from mfm_tpu.kernels.proposal import (
+    Proposal,
+    proposal_from_energy_diff,
+    static_binomial_sampling,
+)
 
 
 class HMCInfo(NamedTuple):
@@ -80,17 +85,18 @@ def build_kernel(
         kinetic1 = 0.5 * jnp.sum(p * p * inv_mass, axis=-1)
         h0 = -state.logdensity + kinetic0
         h1 = -prop_logdens + kinetic1
-        delta = h0 - h1
-        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
-        divergent = jnp.abs(delta) > divergence_threshold
 
-        p_accept = jnp.clip(jnp.exp(delta), max=1.0)
-        accept = jax.random.uniform(key_acc, (B,)) < p_accept
-        new_state = ChainState(
-            jnp.where(accept[:, None], q, state.position),
-            jnp.where(accept, prop_logdens, state.logdensity),
-            jnp.where(accept[:, None], prop_grad, state.logdensity_grad),
+        # Metropolis accept via the shared proposal algebra (energy drop
+        # h0 - h1, NaN -> reject, divergence flagging included)
+        proposed_state = ChainState(q, prop_logdens, prop_grad)
+        new_proposal, divergent = proposal_from_energy_diff(
+            h0, h1, divergence_threshold, proposed_state
         )
+        prev = Proposal(state, h0, jnp.zeros_like(h0), jnp.zeros_like(h0))
+        sampled, accept, p_accept = static_binomial_sampling(
+            key_acc, prev, new_proposal
+        )
+        new_state = sampled.state
         info = HMCInfo(p_accept, accept, divergent, h1, q, num_integration_steps)
         return new_state, info
 

