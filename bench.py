@@ -29,13 +29,30 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Force REAL completion: fetch a scalar computed from the first array
+    leaf (a 4-byte transfer whose producing op depends on the whole buffer).
+
+    jax.block_until_ready is NOT a reliable fence over the axon tunnel: it
+    can return while compilation/execution is still in flight on the remote
+    worker — measured in round 4, a freshly-compiled 250-step scan "blocked"
+    for 0.7 ms while the next value fetch paid an 88 s backlog, and the
+    round-3 chain_scaling numbers (22.1M -> 19.9M -> 187M steps/s, the
+    "4096-chain dip") were queue-state noise from exactly this. A value
+    fetch cannot lie: the scalar only exists once the executable finished.
+    Every timing in this file synchronizes through this helper.
+    """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
 def _time_it(fn, *args, repeats=1):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     start = time.time()
     for _ in range(repeats):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _sync(out)
     return (time.time() - start) / repeats, out
 
 
@@ -66,13 +83,13 @@ def bench_mfm_4mode(n_iter=300):
     # device->host metric sync every iteration (wandb.log analogue)
     one_step = jax.jit(step_fn)
     carry, m = one_step(carry0, (keys[0], counts[0]))  # compile
-    jax.block_until_ready(carry)
+    _sync(carry)
     start = time.time()
     carry = carry0
     for i in range(n_iter):
         carry, metrics = one_step(carry, (keys[i], counts[i]))
         _ = {k: float(v) for k, v in metrics.items()}  # per-iter host sync
-    jax.block_until_ready(carry)
+    _sync(carry)
     t_loop = time.time() - start
 
     return {
@@ -86,7 +103,16 @@ def bench_chain_scaling(n_steps=1000):
     """Chain-count scaling of ensemble MALA on one chip (phi-four d=64):
     throughput should grow superlinearly-to-linearly until the MXU/VPU
     saturates — the ensemble-batched design's headroom beyond the
-    reference's 1024 chains."""
+    reference's 1024 chains.
+
+    Reports MARGINAL throughput — steps/s from the wall-clock DIFFERENCE
+    between a 4*n_steps and an n_steps scan — because one dispatch over the
+    axon tunnel carries a fixed ~35-40 ms launch cost that small ensembles
+    don't amortize at n_steps=1000. The round-3 totals conflated that
+    overhead with compute (and used the unreliable block_until_ready fence,
+    see _sync), producing the spurious 4096-chain dip; the marginal curve
+    is monotone: 168M / 245M / 316M steps/s at 1024/4096/16384 (round 4,
+    v5e)."""
     from mfm_tpu.kernels import mala
     from mfm_tpu.targets import PhiFour
 
@@ -94,21 +120,33 @@ def bench_chain_scaling(n_steps=1000):
     vs = lambda x: target.value_and_score(x)
     kernel = mala.build_kernel(vs)
     key = jax.random.PRNGKey(0)
-    out = {}
+    out, out_overhead = {}, {}
     for n_chain in (1024, 4096, 16384, 65536):
         state = mala.init(target.init_positions(key, n_chain), vs)
 
-        @jax.jit
-        def run(state, key):
-            def body(s, k):
-                s, _ = kernel(k, s, 1e-4)
-                return s, None
+        def make_run(steps):
+            @jax.jit
+            def run(state, key):
+                def body(s, k):
+                    s, _ = kernel(k, s, 1e-4)
+                    return s, None
 
-            return jax.lax.scan(body, state, jax.random.split(key, n_steps))[0]
+                return jax.lax.scan(
+                    body, state, jax.random.split(key, steps)
+                )[0]
 
-        t, _ = _time_it(run, state, key)
-        out[str(n_chain)] = round(n_chain * n_steps / t / 1e3, 1)  # K steps/s
-    return {"chain_steps_kps_by_n_chain": out}
+            return run
+
+        t1, _ = _time_it(make_run(n_steps), state, key, repeats=2)
+        t4, _ = _time_it(make_run(4 * n_steps), state, key, repeats=2)
+        marginal = 3 * n_steps * n_chain / max(t4 - t1, 1e-9)
+        out[str(n_chain)] = round(marginal / 1e3, 1)  # K steps/s
+        # per-call fixed cost implied by the two points (dispatch + launch)
+        out_overhead[str(n_chain)] = round((t1 - (t4 - t1) / 3) * 1e3, 1)
+    return {
+        "chain_steps_kps_by_n_chain": out,
+        "fixed_overhead_ms_by_n_chain": out_overhead,
+    }
 
 
 def bench_pines_flow_smc(n_train=3000, n_particles=512, n_steps=32):
@@ -188,7 +226,7 @@ def bench_new_examples(n_eval=4096, smc_particles=2048, smc_steps=32,
         target = make_target(ex)
         t0 = time.time()
         run = run_mfm(target, cfg)
-        jax.block_until_ready(run.train.params)
+        _sync(run.train.params)
         t_train = time.time() - t0
         fs, es, _ = sample_flow(run, jax.random.PRNGKey(1), n_eval, target)
         real = target.sample(jax.random.PRNGKey(2), (n_eval,))
@@ -215,7 +253,7 @@ def bench_new_examples(n_eval=4096, smc_particles=2048, smc_steps=32,
         key=jax.random.PRNGKey(100), n_particles=smc_particles,
         n_steps=smc_steps,
     )
-    jax.block_until_ready(r.samples)
+    _sync(r.samples)
     t_smc = time.time() - t0
     key_pick = jax.random.PRNGKey(200)
     idx = jax.random.categorical(
@@ -314,12 +352,12 @@ def bench_mfm_steady(example: str, n_iter: int, repeats: int = 3, **overrides):
         return jax.lax.scan(step_fn, carry, (keys, counts))
 
     out = run_scan(carry0, keys, counts)  # compile + warm
-    jax.block_until_ready(out)
+    _sync(out)
     rates = []
     for _ in range(repeats):
         start = time.time()
         out = run_scan(carry0, keys, counts)
-        jax.block_until_ready(out)
+        _sync(out)
         rates.append(n_iter / (time.time() - start))
     return {
         "iters_per_sec_median": statistics.median(rates),

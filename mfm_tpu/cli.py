@@ -140,7 +140,7 @@ def run_one(target, cfg, args):
 
     metrics = evaluate_samples(
         target, flow_samples, exact_samples, real_samples,
-        pallas_metrics=getattr(args, "pallas_metrics", False),
+        pallas_metrics=getattr(args, "pallas_metrics", None),
     )
     metrics["train_time"] = train_time
     log.summary(metrics)
@@ -283,10 +283,14 @@ def main(argv=None):
                    help="after IS resampling, run N self-tuning MALA moves on "
                         "the exact target (repairs IS degeneracy at high dim; "
                         "pines d=1600: KSD-U 2813 -> 0.048 at N=100)")
-    p.add_argument("--pallas-metrics", action="store_true",
+    p.add_argument("--pallas-metrics", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="evaluate KSD/MMD with the fused Pallas pairwise "
                         "kernels (2-5x faster at the 12.8k eval size on "
-                        "v5e; coarser f32 accumulation — see drivers/eval)")
+                        "v5e; coarser f32 accumulation — see drivers/eval). "
+                        "Default: auto — ON on TPU, OFF elsewhere; "
+                        "--no-pallas-metrics forces the XLA path for "
+                        "near-floor KSD comparisons")
     p.add_argument("--plots", action="store_true",
                    help="save the reference's end-of-run figure set (pair "
                         "scatters, phi-four fields, 2-D flow progression) "

@@ -22,7 +22,7 @@ def evaluate_samples(
     exact_samples: jax.Array,
     real_samples: Optional[jax.Array] = None,
     log_weights: Optional[jax.Array] = None,
-    pallas_metrics: bool = False,
+    pallas_metrics: Optional[bool] = None,
 ) -> dict:
     """Compute the reference metric row for one run.
 
@@ -32,12 +32,18 @@ def evaluate_samples(
 
     ``pallas_metrics``: use the fused Pallas pairwise kernels — measured
     2-5x faster at the 12,800-sample eval size on v5e (d=64: 2.0x, d=1600:
-    5.1x, MMD: 1.5x; RESULTS_raw_pairwise_pallas.json) but with coarser
-    f32 accumulation (KSD abs deviation ~3e-4 at d=64, ~0.03 at d=1600).
-    Opt-in because the near-floor KSD regime (move-corrected pines ~0.05)
-    needs the XLA path's tighter accumulation; the weighted-Stein variant
-    always uses the XLA path.
+    5.1x, MMD: 1.5x; RESULTS_raw_pairwise_pallas.json) with coarser f32
+    accumulation (KSD abs deviation ~3e-4 at d=64, ~0.03 at d=1600).
+    ``None`` (default) resolves to the backend: ON when the default backend
+    is TPU (where the kernels compile natively and the speedup is real),
+    OFF elsewhere (CPU/tests keep the pure-XLA path; on non-TPU the Pallas
+    kernels would only run in slow interpreter mode anyway). Pass an
+    explicit ``False`` on TPU when the near-floor KSD regime (move-corrected
+    pines ~0.05) needs the XLA path's tighter accumulation; the
+    weighted-Stein variant always uses the XLA path.
     """
+    if pallas_metrics is None:
+        pallas_metrics = jax.default_backend() == "tpu"
     if pallas_metrics:
         from mfm_tpu.ops.pairwise_pallas import (
             max_mean_disc_pallas as mmd_fn,

@@ -137,6 +137,41 @@ class TestWeightedEval:
         # uniform weights -> weighted == unweighted
         np.testing.assert_allclose(m["stein_u_weighted"], m["stein_u"], rtol=1e-4)
 
+    def test_pallas_metrics_auto_default(self, key, monkeypatch):
+        """pallas_metrics=None resolves by backend: Pallas kernels on TPU,
+        pure-XLA path elsewhere (VERDICT r3 item 10). Verified by
+        monkeypatching the selected stein function on each fork."""
+        import mfm_tpu.drivers.eval as ev
+        from mfm_tpu.targets import IndepGaussian
+
+        target = IndepGaussian(2)
+        xs = target.sample(key, (64,))
+        calls = []
+
+        def spy(name, fn):
+            def wrapped(*a, **k):
+                calls.append(name)
+                return fn(*a, **k)
+            return wrapped
+
+        monkeypatch.setattr(ev, "stein_disc", spy("xla", ev.stein_disc))
+        ev.evaluate_samples(target, xs, xs)  # CPU backend -> XLA path
+        assert "xla" in calls
+
+        import mfm_tpu.ops.pairwise_pallas as pp
+        calls.clear()
+        # stub (not call-through): with default_backend patched to "tpu"
+        # the real kernel would try to compile natively on this CPU host
+        monkeypatch.setattr(
+            pp, "stein_disc_pallas", spy("pallas", lambda *a, **k: (0.0, 0.0))
+        )
+        monkeypatch.setattr(
+            pp, "max_mean_disc_pallas", lambda *a, **k: 0.0
+        )
+        monkeypatch.setattr(ev.jax, "default_backend", lambda: "tpu")
+        ev.evaluate_samples(target, xs, xs)  # forced "tpu" -> Pallas path
+        assert "pallas" in calls and "xla" not in calls
+
 
 class TestImportPurity:
     """Importing the library must not initialize any JAX backend.
