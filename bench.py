@@ -331,6 +331,82 @@ def bench_pines_step(n_chain=128, n_steps=400):
     return {"chain_steps_per_sec": n_chain * n_steps / t}
 
 
+def bench_roofline():
+    """Absolute hardware-utilization accounting for the three hot loops
+    (round-3 review item 5): FLOPs/bytes from XLA's cost model of the
+    compiled executable, wall-clock from the same executable, %-of-peak
+    against the chip's datasheet ceilings (diagnostics/roofline.py).
+    Replaces the unanchored "within ~2x of the bandwidth floor" claim."""
+    from mfm_tpu.diagnostics.metrics import stein_disc
+    from mfm_tpu.diagnostics.roofline import device_peaks, roofline
+    from mfm_tpu.kernels import mala
+    from mfm_tpu.targets import LogGaussianCoxPines, four_mode_mixture
+
+    reports = {}
+    key = jax.random.PRNGKey(0)
+
+    # 1. ensemble MALA on the LGCP target (the headline's 99% phase):
+    # per-step cost is one fused precision-GEMM value_and_score
+    target = LogGaussianCoxPines(1600)
+    vs = lambda x: target.value_and_score(x)
+    kernel = mala.build_kernel(vs)
+    state = mala.init(target.init_positions(key, 128), vs)
+    n_steps = 400
+
+    def run_mala(state, key):
+        def body(s, k):
+            s, _ = kernel(k, s, 0.01)
+            return s, None
+        return jax.lax.scan(body, state, jax.random.split(key, n_steps))[0]
+
+    r = roofline("mala_lgcp_128x400", run_mala, state, key,
+                 loop_reps=n_steps)
+    reports["mala_lgcp"] = dict(
+        r.as_dict(), chain_steps_per_sec=128 * n_steps / r.seconds)
+
+    # 2. one full CNF transport push (24-step RK4, Hutchinson divergence)
+    # at the pines field size — the flow-step / final-sampling hot path
+    from mfm_tpu.flows.cnf import make_transport
+    from mfm_tpu.flows.vector_field import make_vector_field
+
+    apply_fn, params = make_vector_field(
+        key, 1600, hidden_x=(), hidden_t=(), hidden_xt=(1024, 1024),
+        score_fn=target.score, score_clip=10.0)
+    transport = make_transport(apply_fn, "hutchinson", n_steps=24)
+    u = jax.random.normal(key, (128, 1600))
+
+    def run_transport(params, u, key):
+        return transport.forward(params, u, key)
+
+    r = roofline("rk4_transport_pines_128", run_transport, params, u, key,
+                 loop_reps=24)
+    reports["rk4_transport"] = dict(
+        r.as_dict(), samples_per_sec=128 / r.seconds)
+
+    # 3. tiled O(T^2) Stein discrepancy at the eval size (12.8k samples)
+    t4 = four_mode_mixture()
+    X = t4.sample(key, (12800,))
+
+    def run_stein(X):
+        return stein_disc(X, t4.score)
+
+    # metrics row-tiling: lax.map over T/tile row chunks (tile=128)
+    r = roofline("stein_tiled_12800", run_stein, X, loop_reps=12800 // 128)
+    reports["stein_tiled"] = dict(
+        r.as_dict(), pairs_per_sec=12800.0 * 12800.0 / r.seconds)
+
+    peak_f, peak_b = device_peaks()
+    reports["peaks"] = {
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
+        "peak_flops_per_sec": peak_f,
+        "peak_bytes_per_sec": peak_b,
+        "caveats": "bytes = XLA logical operand traffic (upper bound on "
+                   "HBM); f32 GEMMs run as multi-pass bf16 on the MXU so "
+                   "pct_peak_flops understates MXU occupancy for f32 work",
+    }
+    return reports
+
+
 def bench_mfm_steady(example: str, n_iter: int, repeats: int = 3, **overrides):
     """Median steady-state MFM training rate over `repeats` runs of the same
     compiled scan program (compile excluded; medians damp run-to-run noise,
@@ -421,6 +497,7 @@ _BENCHES = {
     "chain_scaling": ("bench_chain_scaling", (), {}),
     "pines_flow_smc": ("bench_pines_flow_smc", (), {}),
     "new_examples": ("bench_new_examples", (), {}),
+    "roofline": ("bench_roofline", (), {}),
     # a 4000-iteration pines training run: hours on the 1-core CPU host,
     # so opt-in only (BENCH_QUALITY=1 python bench.py)
     "pines_move_quality": ("bench_pines_move_quality", (), {}),
@@ -557,7 +634,7 @@ def main():
 
     names = [
         "mfm_4mode", "phi_four_mala", "pines_mala", "mfm_phi_four_steady",
-        "chain_scaling", "pines_flow_smc", "new_examples",
+        "chain_scaling", "pines_flow_smc", "new_examples", "roofline",
     ] + (["pines_move_quality"] if os.environ.get("BENCH_QUALITY") else [])
     for name in names:
         payload, err = run_bench_isolated(name, timeout=2400)

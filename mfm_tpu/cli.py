@@ -4,9 +4,11 @@ Parity with the reference CLI (/root/reference/multi_modal.py): the same
 four benchmark examples with their per-example overrides, the 10-seed
 replication rule (seeds i^10 when --seed is unset, :118), mean +/- 1.96
 sigma aggregation printed as a LaTeX-ish row (:133-143), and the baseline
-switches. The external-package baselines (FAB / flowMC / DDS / pocomc,
-reference exe_others.py) are gated on their packages being importable;
-the in-repo adaptive tempered SMC baseline (--do-smc) always works.
+switches. Every baseline switch always works: FAB / flowMC / DDS
+(reference exe_others.py) run the external package's adapter when that
+package is importable and otherwise the in-repo implementations
+(drivers/{fab,flowmc,dds}.py); adaptive tempered SMC (--do-smc) is
+in-repo by construction.
 
 Usage:
     python -m mfm_tpu.cli --example 4-mode --mcmc-per-flow-steps 10
@@ -333,15 +335,9 @@ def main(argv=None):
             "(annealed ensemble seeds the move kernel)."
         )
 
-    for flag, pkg in [("do_fab", "fabjax"), ("do_flowmc", "flowMC"), ("do_dds", "dds")]:
-        if getattr(args, flag):
-            try:
-                __import__(pkg)
-            except ImportError:
-                raise SystemExit(
-                    f"--{flag.replace('_', '-')} needs the external package "
-                    f"{pkg!r}, which is not installed in this environment"
-                )
+    # --do-fab/--do-flowmc/--do-dds always work: drivers.baselines falls
+    # back to the in-repo implementations (drivers/{fab,flowmc,dds}.py)
+    # when the external packages are absent
 
     overrides = {"mcmc_per_flow_steps": args.mcmc_per_flow_steps,
                  "num_importance_samples": args.num_importance_samples}

@@ -19,6 +19,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPT = os.path.join(REPO, "benchmarks", "run_distributed_seeds.py")
 
 
+def _json_lines(text: str) -> list:
+    """Parse the result records the subprocess printed, one JSON object per
+    line. Gloo/backend chatter can be appended to the SAME stdout line as a
+    record (observed: '{...}[Gloo] Rank 0 is connected...'), so stop at the
+    end of the first object instead of requiring the whole line to be JSON."""
+    dec = json.JSONDecoder()
+    return [dec.raw_decode(line)[0]
+            for line in text.splitlines() if line.startswith("{")]
+
+
 class TestLocalHelpers:
     def test_local_seeds_strided_split(self):
         from mfm_tpu.parallel.distributed import local_seeds
@@ -60,11 +70,7 @@ class TestMultiControllerTraining:
             ],
             capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
         )
-        lines = [
-            json.loads(line)
-            for line in out.stdout.splitlines()
-            if line.startswith("{")
-        ]
+        lines = _json_lines(out.stdout)
         assert len(lines) == 2, out.stdout + out.stderr
         a, b = lines
         assert {a["process_id"], b["process_id"]} == {0, 1}
@@ -91,11 +97,7 @@ class TestTwoProcessRun:
             ],
             capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
         )
-        lines = [
-            json.loads(line)
-            for line in out.stdout.splitlines()
-            if line.startswith("{")
-        ]
+        lines = _json_lines(out.stdout)
         assert len(lines) == 2, out.stdout + out.stderr
         by_pid = {rec["process_id"]: rec for rec in lines}
         assert set(by_pid) == {0, 1}
@@ -134,11 +136,7 @@ class TestMultiProcessCheckpointResume:
                 ],
                 capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
             )
-            lines = [
-                json.loads(line)
-                for line in out.stdout.splitlines()
-                if line.startswith("{")
-            ]
+            lines = _json_lines(out.stdout)
             assert len(lines) == 2, out.stdout + out.stderr
             return {rec["process_id"]: rec for rec in lines}
 
@@ -175,11 +173,7 @@ class TestMultiControllerPhiFour:
             ],
             capture_output=True, text=True, timeout=540, env=env, cwd=REPO,
         )
-        recs = [
-            json.loads(line)
-            for line in out.stdout.splitlines()
-            if line.startswith("{")
-        ]
+        recs = _json_lines(out.stdout)
         assert len(recs) == 2, out.stdout + out.stderr
         a, b = recs
         assert a["num_chain_global"] == 1024

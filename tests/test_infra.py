@@ -254,11 +254,32 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "SMC" in out
 
-    def test_external_baseline_gated(self):
-        from mfm_tpu import cli
+    def test_baseline_flag_dispatches(self, monkeypatch, tmp_path, capsys):
+        """--do-fab must reach drivers.baselines.run_baseline (which falls
+        back to the in-repo FAB when fabjax is absent) instead of erroring
+        out. The dispatch itself is stubbed: the live loops are covered by
+        test_fab/test_flowmc/test_dds."""
+        import numpy as np
 
-        with pytest.raises(SystemExit, match="fabjax"):
-            cli.main(["--example", "4-mode", "--do-fab"])
+        from mfm_tpu import cli
+        from mfm_tpu.drivers import baselines as B
+
+        seen = {}
+
+        def fake_run_baseline(name, target, cfg, seed=0, **kwargs):
+            seen["name"] = name
+            n = kwargs.get("n_eval") or 64
+            samples = np.zeros((n, target.dim))
+            return B.BaselineResult(samples, samples, 0.0, {})
+
+        monkeypatch.setattr(B, "run_baseline", fake_run_baseline)
+        cli.main([
+            "--example", "4-mode", "--seed", "0", "--do-fab",
+            "--set", "eval_iter=1", "--num-chain", "8",
+            "--run-dir", str(tmp_path / "runs"),
+        ])
+        capsys.readouterr()
+        assert seen["name"] == "fab"
 
 
 class TestCLIVmapSeeds:
