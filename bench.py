@@ -67,7 +67,8 @@ def bench_mfm_4mode(n_iter=300):
         step_size=0.2, mcmc_per_flow_steps=10.0, ode_steps=24,
     )
     key = jax.random.PRNGKey(0)
-    step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+    pieces = build_mfm(target, cfg, key)
+    step_fn, init_fn = pieces.step_fn, pieces.init_fn
     carry0 = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
     keys = jax.random.split(key, n_iter)
     counts = jnp.arange(1, n_iter + 1)
@@ -418,7 +419,8 @@ def bench_mfm_steady(example: str, n_iter: int, repeats: int = 3, **overrides):
     cfg = preset(example, learning_iter=n_iter, **overrides)
     target = make_target(example)
     key = jax.random.PRNGKey(0)
-    step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+    pieces = build_mfm(target, cfg, key)
+    step_fn, init_fn = pieces.step_fn, pieces.init_fn
     carry0 = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
     keys = jax.random.split(key, n_iter)
     counts = jnp.arange(1, n_iter + 1)
@@ -439,6 +441,93 @@ def bench_mfm_steady(example: str, n_iter: int, repeats: int = 3, **overrides):
         "iters_per_sec_median": statistics.median(rates),
         "iters_per_sec_runs": rates,
     }
+
+
+def bench_pines_north_star(n_chain=4096, n_iter=400):
+    """The BASELINE.md north-star operating point: pines (d=1600) with the
+    bf16 field preset at 4096 parallel chains on ONE chip. The n_chain=128
+    headline row measures reference parity; this row measures the
+    throughput the ensemble-batched TPU design actually unlocks, with the
+    hot loop's roofline utilization recorded next to it (VERDICT r4 weak
+    #5: the recommended operating point was never demonstrated as a
+    headline-grade row)."""
+    from mfm_tpu.diagnostics.roofline import roofline
+    from mfm_tpu.kernels import mala
+    from mfm_tpu.targets import LogGaussianCoxPines
+
+    steady = bench_mfm_steady(
+        "pines", n_iter=n_iter, num_chain=n_chain,
+        mcmc_per_flow_steps=100.0,
+    )
+    # roofline of the 99% phase (ensemble MALA) at the same ensemble size
+    target = LogGaussianCoxPines(1600)
+    vs = lambda x: target.value_and_score(x)
+    kernel = mala.build_kernel(vs)
+    key = jax.random.PRNGKey(0)
+    state = mala.init(target.init_positions(key, n_chain), vs)
+    n_steps = 100
+
+    def run_mala(state, key):
+        def body(s, k):
+            s, _ = kernel(k, s, 0.01)
+            return s, None
+
+        return jax.lax.scan(body, state, jax.random.split(key, n_steps))[0]
+
+    r = roofline(f"mala_lgcp_{n_chain}x{n_steps}", run_mala, state, key,
+                 loop_reps=n_steps)
+    return {
+        "n_chain": n_chain,
+        "iters_per_sec_median": steady["iters_per_sec_median"],
+        "chain_steps_per_sec": steady["iters_per_sec_median"] * n_chain,
+        "mala_roofline": r.as_dict(),
+    }
+
+
+def bench_baselines(example="4-mode", seeds=(0,), iters_scale=1.0):
+    """Measured MFM-vs-baseline rows (VERDICT r4 missing #1): MFM, adaptive
+    tempered SMC, and the in-repo FAB / flowMC / DDS at the reference
+    4-mode benchmark config, shared metric schema (exe_others.py:42-299 +
+    exe_flow_matching.py:462-490). One seed here keeps the bench inside its
+    subprocess budget; the full 3-seed protocol over 4-mode / many-well /
+    16-mode is benchmarks/baseline_showdown.py, whose committed artifact is
+    RESULTS_raw_baseline_showdown.json."""
+    import importlib.util
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "baseline_showdown.py")
+    spec = importlib.util.spec_from_file_location("baseline_showdown", path)
+    sd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sd)
+    out = sd.run_showdown(
+        targets=(example,), methods=("mfm", "smc", "fab", "flowmc", "dds"),
+        seeds=tuple(seeds), iters_scale=iters_scale,
+    )
+    return out["tables"].get(example, {"error": "no table produced",
+                                       "cells": out["cells"]})
+
+
+def probe_device_once(probe_timeout=90):
+    """ONE subprocess value-fetch probe; True iff the device answered.
+
+    Separate from wait_for_device so the orchestrator can attribute a
+    wedge to the bench that just ran (first-probe failure = that bench
+    left the device wedged) before waiting for recovery."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda x: (x*x).sum())(jnp.ones(128))))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, timeout=probe_timeout, text=True,
+        )
+        return r.returncode == 0 and "128.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def wait_for_device(max_wait=900, probe_timeout=120):
@@ -498,6 +587,8 @@ _BENCHES = {
     "pines_flow_smc": ("bench_pines_flow_smc", (), {}),
     "new_examples": ("bench_new_examples", (), {}),
     "roofline": ("bench_roofline", (), {}),
+    "pines_north_star": ("bench_pines_north_star", (), {}),
+    "baselines": ("bench_baselines", (), {}),
     # a 4000-iteration pines training run: hours on the 1-core CPU host,
     # so opt-in only (BENCH_QUALITY=1 python bench.py)
     "pines_move_quality": ("bench_pines_move_quality", (), {}),
@@ -572,10 +663,48 @@ def _emit_headline_failure(error):
     sys.exit(2)
 
 
+def _append_wedge_log(entry):
+    """Cumulative per-bench device-health log across rounds (VERDICT r4
+    weak #2: four unattributed wedges in r03/r04). Append-only JSONL,
+    committed with the repo so wedge<->program correlations survive."""
+    try:
+        with open("WEDGE_LOG.jsonl", "a") as fh:
+            fh.write(json.dumps({"ts": round(time.time(), 1), **entry}) + "\n")
+    except OSError:
+        pass
+
+
 def main():
     import sys
 
+    t_start = time.time()
+    # self-enforced global deadline (VERDICT r4 weak #1: two consecutive
+    # rounds were SIGKILLed by the external driver budget mid-bench, losing
+    # detail rows). Every child timeout is sized to the remaining budget;
+    # when it runs out, remaining benches are skipped WITH a recorded
+    # reason instead of dying silently.
+    budget = float(os.environ.get("MFM_BENCH_BUDGET_S", 5400))
+
+    def remaining():
+        return budget - (time.time() - t_start)
+
     details = {}
+    health = []
+    details["device_health"] = health
+
+    def dump():
+        with open("BENCH_DETAILS.json", "w") as fh:
+            json.dump(details, fh, indent=2)
+
+    def record_health(bench, outcome, wedged_after=None, wait_s=None):
+        entry = {"bench": bench, "t_rel_s": round(time.time() - t_start, 1),
+                 "outcome": outcome}
+        if wedged_after is not None:
+            entry["wedged_after"] = bool(wedged_after)
+        if wait_s is not None:
+            entry["recovery_wait_s"] = round(wait_s, 1)
+        health.append(entry)
+        _append_wedge_log(entry)
 
     # --- headline with crash recovery: probe the device, run the bench in
     # an isolated child, and on ANY failure (crash, wedge, timeout) wait for
@@ -584,18 +713,33 @@ def main():
     headline = None
     err = "device probe failed; accelerator wedged"
     for attempt in range(3):
-        if not wait_for_device(max_wait=900 if attempt == 0 else 300):
+        if remaining() < 180:
+            err = f"bench budget ({budget:.0f}s) exhausted before headline"
+            break
+        if not wait_for_device(
+            max_wait=min(900 if attempt == 0 else 300,
+                         max(remaining() - 120, 60))
+        ):
             # a wedged device makes every in-process fetch hang FOREVER; the
             # probe lives in a subprocess so this parent can still give up
             # cleanly with a machine-readable line
+            record_health(f"headline_attempt{attempt + 1}", "probe_failed")
             continue
-        payload, err = run_bench_isolated("headline", timeout=3000)
+        payload, err = run_bench_isolated(
+            "headline", timeout=min(3000, max(remaining() - 60, 120)))
         if payload is not None:
             headline = payload["result"]
             details["device"] = payload.get("device")
+            record_health(f"headline_attempt{attempt + 1}", "ok")
             break
         print(f"bench: headline attempt {attempt + 1} failed: {err}",
               file=sys.stderr)
+        wedged = not probe_device_once()
+        record_health(
+            f"headline_attempt{attempt + 1}",
+            "timeout" if "timed out" in err else "error",
+            wedged_after=wedged,
+        )
     if headline is None:
         _emit_headline_failure(err)
     details["mfm_pines_steady"] = headline
@@ -635,18 +779,41 @@ def main():
     names = [
         "mfm_4mode", "phi_four_mala", "pines_mala", "mfm_phi_four_steady",
         "chain_scaling", "pines_flow_smc", "new_examples", "roofline",
+        "pines_north_star", "baselines",
     ] + (["pines_move_quality"] if os.environ.get("BENCH_QUALITY") else [])
     for name in names:
-        payload, err = run_bench_isolated(name, timeout=2400)
+        if remaining() < 90:
+            details[name] = {
+                "error": f"skipped: bench budget ({budget:.0f}s) exhausted "
+                         f"after {time.time() - t_start:.0f}s"}
+            record_health(name, "skipped_budget")
+            dump()
+            continue
+        # pre-write the entry BEFORE launching the child so even a
+        # SIGKILL'd parent leaves a record of what was in flight
+        details[name] = {
+            "error": f"bench {name!r} launched but never returned "
+                     "(parent killed mid-bench?)"}
+        dump()
+        payload, err = run_bench_isolated(
+            name, timeout=min(2400, max(remaining() - 30, 60)))
         if payload is not None:
             details[name] = payload["result"]
+            record_health(name, "ok")
         else:  # secondary benches must not kill the headline
             details[name] = {"error": err}
-            # a detail-bench crash often means the device wedged; re-probe
-            # before the next bench so one fault can't cascade through all
-            wait_for_device(max_wait=300)
-        with open("BENCH_DETAILS.json", "w") as fh:
-            json.dump(details, fh, indent=2)
+            # attribute: did THIS bench leave the device wedged?
+            wedged = not probe_device_once()
+            wait_s = 0.0
+            if wedged and remaining() > 90:
+                w0 = time.time()
+                wait_for_device(max_wait=min(300, max(remaining() - 60, 30)))
+                wait_s = time.time() - w0
+            record_health(
+                name, "timeout" if "timed out" in (err or "") else "error",
+                wedged_after=wedged, wait_s=wait_s,
+            )
+        dump()
 
 
 if __name__ == "__main__":

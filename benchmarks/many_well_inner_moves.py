@@ -48,6 +48,11 @@ def main(out_path="RESULTS_raw_many_well_inner_moves.json"):
     t_train = time.time() - t0
 
     rows = []
+    out = {
+        "log_z_true": float(logz_true),
+        "train_time_s": round(t_train, 2),
+        "rows": rows,
+    }
     for n_mcmc in (1, 4, 16):
         for smc_seed in (100, 101, 102):
             t0 = time.time()
@@ -67,14 +72,11 @@ def main(out_path="RESULTS_raw_many_well_inner_moves.json"):
                 "time_s": round(time.time() - t0, 2),
             })
             print(rows[-1], flush=True)
-
-    out = {
-        "log_z_true": float(logz_true),
-        "train_time_s": round(t_train, 2),
-        "rows": rows,
-    }
-    with open(out_path, "w") as fh:
-        json.dump(out, fh, indent=2)
+            # write after every cell: a device fault mid-grid must not
+            # lose the completed cells (r05 lesson — first attempt lost
+            # 6 finished cells to a wedge on cell 7)
+            with open(out_path, "w") as fh:
+                json.dump(out, fh, indent=2)
     for n_mcmc in (1, 4, 16):
         b = [row["bias"] for row in rows if row["n_mcmc"] == n_mcmc]
         print(

@@ -127,6 +127,8 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
             "rho1": delta_stats(tr, params, rho1_u),
         }
         print(n_steps, out["delta"][str(n_steps)], flush=True)
+        with open(out_path, "w") as fh:  # survive a mid-grid device fault
+            json.dump(out, fh, indent=2)
 
     # (3): end-to-end logZ at finer transport grids
     for n_steps in (48, 96):
@@ -150,6 +152,8 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
             }
             out["e2e"].append(row)
             print(row, flush=True)
+            with open(out_path, "w") as fh:
+                json.dump(out, fh, indent=2)
 
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=2)

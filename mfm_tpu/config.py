@@ -94,6 +94,12 @@ class MFMConfig:
     alpha: float = 0.95
     anneal_iter: int = 200
     num_anneal_temp: int = 200
+    # flowMC baseline: coupling-flow depth. None = the reference's own
+    # derivation n_layers = len(hidden_x) + len(hidden_t) + 4
+    # (exe_others.py:132); set explicitly to decouple flow depth from the
+    # MFM field's MLP config.
+    flowmc_n_layers: Optional[int] = None
+
     # waste-free SMC (Dau & Chopin 2022) for the SMC drivers: resample
     # M = num_chain / P ancestors per tempering step and keep all P chain
     # states per ancestor as the new particle system (reference declares

@@ -154,9 +154,14 @@ def run_dds(
 
     def loss_fn(params, key):
         _, log_w = rollout(params, key)
-        safe = jnp.where(jnp.isfinite(log_w), log_w, 0.0)
-        # KL(p||q) - logZ, pathwise-reparameterized
-        return -jnp.mean(safe), log_w
+        finite = jnp.isfinite(log_w)
+        safe = jnp.where(finite, log_w, 0.0)
+        n_finite = jnp.maximum(jnp.sum(finite), 1).astype(safe.dtype)
+        # KL(p||q) - logZ, pathwise-reparameterized. Masked mean: an
+        # exploded trajectory is excluded from the estimate rather than
+        # averaged in as a zero (which would pull the KL gradient toward
+        # zero whenever any chain diverges)
+        return -jnp.sum(safe) / n_finite, log_w
 
     @jax.jit
     def train(carry, keys):

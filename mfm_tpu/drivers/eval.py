@@ -34,16 +34,22 @@ def evaluate_samples(
     2-5x faster at the 12,800-sample eval size on v5e (d=64: 2.0x, d=1600:
     5.1x, MMD: 1.5x; RESULTS_raw_pairwise_pallas.json) with coarser f32
     accumulation (KSD abs deviation ~3e-4 at d=64, ~0.03 at d=1600).
-    ``None`` (default) resolves to the backend: ON when the default backend
-    is TPU (where the kernels compile natively and the speedup is real),
-    OFF elsewhere (CPU/tests keep the pure-XLA path; on non-TPU the Pallas
-    kernels would only run in slow interpreter mode anyway). Pass an
-    explicit ``False`` on TPU when the near-floor KSD regime (move-corrected
-    pines ~0.05) needs the XLA path's tighter accumulation; the
-    weighted-Stein variant always uses the XLA path.
+    ``None`` (default) resolves to the backend AND the regime: ON when the
+    default backend is TPU (where the kernels compile natively and the
+    speedup is real) and dim < 1024; OFF elsewhere (CPU/tests keep the
+    pure-XLA path; on non-TPU the Pallas kernels would only run in slow
+    interpreter mode anyway) and OFF at dim >= 1024, where the Pallas
+    path's coarser accumulation (~0.03 abs KSD at d=1600) is the same
+    order as the near-floor KSD values being reported (move-corrected
+    pines ~0.05) and would silently shift the headline quality metric.
+    Pass an explicit ``True`` to force the fast path at high dim. The
+    weighted-Stein variant always uses the XLA path. Every row records
+    which kernel path produced it (``metrics_kernel``).
     """
     if pallas_metrics is None:
-        pallas_metrics = jax.default_backend() == "tpu"
+        pallas_metrics = (
+            jax.default_backend() == "tpu" and flow_samples.shape[-1] < 1024
+        )
     if pallas_metrics:
         from mfm_tpu.ops.pairwise_pallas import (
             max_mean_disc_pallas as mmd_fn,
@@ -53,6 +59,7 @@ def evaluate_samples(
         stein_fn, mmd_fn = stein_disc, max_mean_disc
 
     out = {}
+    out["metrics_kernel"] = "pallas" if pallas_metrics else "xla"
     out["logpdf"] = float(jnp.mean(target.log_prob(flow_samples)))
     u, v = stein_fn(flow_samples, target.score)
     out["stein_u"], out["stein_v"] = float(u), float(v)

@@ -192,13 +192,16 @@ def run_fab(
                 return jnp.where(acc[:, None], z, x), acc
 
         def outer(carry, key):
-            x, _ = carry
+            x, acc_sum = carry
             x, acc = one(key, x)
-            return (x, acc.mean()), None
+            return (x, acc_sum + acc.mean()), None
 
-        (x, acc_mean), _ = jax.lax.scan(
+        (x, acc_sum), _ = jax.lax.scan(
             outer, (x, jnp.zeros(())), jax.random.split(key, n_outer))
-        return x, acc_mean
+        # mean over ALL outer steps: the Robbins-Monro step-size tuning and
+        # the reported stat must react to the average acceptance, not
+        # whichever step happened to run last
+        return x, acc_sum / n_outer
 
     def ais_forward(params, step_sizes, key):
         """Sample q -> AIS through the bridge; returns final positions,
@@ -253,8 +256,12 @@ def run_fab(
     # --- optimizer -------------------------------------------------------------
     opt_cfg = tr["optimizer"]
     if opt_cfg.get("use_schedule", True):
+        # schedule horizon = actual grad steps: n_updates per epoch only in
+        # buffer mode; without the buffer exactly one grad step runs per epoch
+        steps_per_epoch = n_updates if use_buffer else 1
         lr_fn = make_lr_schedule(
-            n_epoch * max(n_updates, 1), int(opt_cfg.get("warmup_n_epoch", 10)),
+            n_epoch * max(steps_per_epoch, 1),
+            int(opt_cfg.get("warmup_n_epoch", 10)),
             float(opt_cfg.get("peak_lr", 2e-4)))
     else:
         lr_fn = optax.constant_schedule(float(opt_cfg.get("init_lr", 2e-5)))
@@ -315,9 +322,13 @@ def run_fab(
                 # refresh stored density & priorities for the batch we just
                 # re-scored (fabjax adjusts priorities the same way)
                 dlw = jnp.clip(lqo - log_q, -jnp.log(w_clip), jnp.log(w_clip))
+                # idx is drawn with replacement; duplicates of a slot carry
+                # identical recomputed values, so a set is idempotent where
+                # an add would compound the adjustment k times per duplicate
                 carry = carry._replace(
                     buf_log_q=carry.buf_log_q.at[idx].set(log_q),
-                    buf_log_w=carry.buf_log_w.at[idx].add(dlw),
+                    buf_log_w=carry.buf_log_w.at[idx].set(
+                        carry.buf_log_w[idx] + dlw),
                 )
                 return carry, loss
 

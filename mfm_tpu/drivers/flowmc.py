@@ -203,7 +203,13 @@ def flowmc_baseline(target: Target, cfg, seed: int = 0,
         n_loop=max(cfg.learning_iter // steps, 1),
         n_local_steps=steps, n_global_steps=steps, n_epochs=steps,
         step_size=cfg.step_size, learning_rate=cfg.learning_rate,
-        n_layers=len(cfg.hidden_x) + len(cfg.hidden_t) + 4,
+        n_layers=(
+            cfg.flowmc_n_layers
+            if getattr(cfg, "flowmc_n_layers", None) is not None
+            # reference default: exe_others.py:132 derives depth from the
+            # MLP widths with this exact formula
+            else len(cfg.hidden_x) + len(cfg.hidden_t) + 4
+        ),
         hidden=tuple(cfg.hidden_xt),
         max_samples=cfg.num_chain * (steps + 1),
         batch_size=cfg.num_chain,

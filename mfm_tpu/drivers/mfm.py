@@ -106,8 +106,8 @@ def _interleave_is_flow(count, mcmc_per_flow_steps: float):
 
 
 class MFMPieces(NamedTuple):
-    """Everything build_mfm constructs; positional layout is stable
-    (callers unpack ``step_fn, init_fn, *_``)."""
+    """Everything build_mfm constructs. Access fields by attribute
+    (``pieces.step_fn`` etc.) — the positional order is not a contract."""
 
     step_fn: Callable
     init_fn: Callable
@@ -117,8 +117,7 @@ class MFMPieces(NamedTuple):
     loss_fn: Callable
     fourier: jax.Array
     # the apply actually used by the transport (the fused Pallas kernel when
-    # cfg.pallas_field engaged; == apply_fn otherwise). Appended last so the
-    # positional layout above stays stable.
+    # cfg.pallas_field engaged; == apply_fn otherwise).
     transport_apply: Callable = None
 
 
@@ -384,8 +383,14 @@ def build_mfm(target: Target, cfg: MFMConfig, key: jax.Array) -> MFMPieces:
         return MFMCarry(chain, train, beta, da, wf, inv_mass), metrics
 
     return MFMPieces(
-        step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn, fourier,
-        transport_apply,
+        step_fn=step_fn,
+        init_fn=init_fn,
+        apply_fn=apply_fn,
+        transport=transport,
+        ref_dist=ref_dist,
+        loss_fn=loss_fn,
+        fourier=fourier,
+        transport_apply=transport_apply,
     )
 
 
@@ -405,7 +410,12 @@ def run_mfm(
     key_build, key_pos, key_loop = jax.random.split(key, 3)
 
     pieces = build_mfm(target, cfg, key_build)
-    step_fn, init_fn, apply_fn, transport, ref_dist, loss_fn = pieces[:6]
+    step_fn = pieces.step_fn
+    init_fn = pieces.init_fn
+    apply_fn = pieces.apply_fn
+    transport = pieces.transport
+    ref_dist = pieces.ref_dist
+    loss_fn = pieces.loss_fn
     init_positions = target.init_positions(key_pos, cfg.num_chain)
 
     carry = jax.jit(init_fn)(init_positions)

@@ -46,6 +46,21 @@ def _patch_tiny_benches(monkeypatch, bench):
                  "many_well_flow_smc": {"log_z": 164.0,
                                         "log_z_true": 164.7}},
     )
+    monkeypatch.setattr(
+        bench, "bench_roofline", lambda: {"mala_lgcp": {"pct_peak": 1.0}},
+    )
+    monkeypatch.setattr(
+        bench, "bench_pines_north_star",
+        lambda: {"n_chain": 4096, "iters_per_sec_median": 10.0,
+                 "chain_steps_per_sec": 40960.0},
+    )
+    monkeypatch.setattr(
+        bench, "bench_baselines",
+        lambda: {"mfm": {"logpdf": {"mean": -1.0}}},
+    )
+    # health probes hit the real accelerator in a subprocess — stub them
+    # (contract tests run on the forced-CPU suite host)
+    monkeypatch.setattr(bench, "probe_device_once", lambda *a, **k: True)
 
 
 class TestBench:
@@ -124,6 +139,7 @@ class TestBench:
 
         monkeypatch.setenv("MFM_BENCH_INPROCESS", "1")
         monkeypatch.setattr(bench, "wait_for_device", lambda *a, **k: True)
+        monkeypatch.setattr(bench, "probe_device_once", lambda *a, **k: True)
 
         def always_crash(*a, **k):
             raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
@@ -136,6 +152,86 @@ class TestBench:
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[0])
         assert rec["value"] is None
         assert "crashed" in rec["error"]
+
+    @pytest.mark.slow
+    def test_budget_skips_details_with_reason(self, tmp_path, monkeypatch,
+                                              capsys):
+        """With the global budget exhausted right after the headline, every
+        detail bench must be skipped WITH a recorded reason and the health
+        log must say so — never a silent SIGKILL hole (BENCH_r04 rc=124)."""
+        sys.path.insert(0, ".")
+        import bench
+
+        monkeypatch.setenv("MFM_BENCH_INPROCESS", "1")
+        # headline fits; details find the budget gone (fake clock advances
+        # past the budget the moment the headline bench returns)
+        monkeypatch.setenv("MFM_BENCH_BUDGET_S", "1000")
+        monkeypatch.setattr(bench, "wait_for_device", lambda *a, **k: True)
+        monkeypatch.setattr(bench, "probe_device_once", lambda *a, **k: True)
+        _patch_tiny_benches(monkeypatch, bench)
+
+        real_time = bench.time.time
+        t0 = real_time()
+        state = {"offset": 0.0}
+
+        def fake_time():
+            return t0 + state["offset"]
+
+        def steady(*a, **k):
+            state["offset"] = 2000.0  # headline "takes" 2000s > budget
+            return {"iters_per_sec_median": 50.0,
+                    "iters_per_sec_runs": [50.0]}
+
+        monkeypatch.setattr(bench, "bench_mfm_steady", steady)
+        monkeypatch.setattr(bench.time, "time", fake_time)
+        monkeypatch.chdir(tmp_path)
+        bench.main()
+        details = json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
+        assert details["mfm_pines_steady"]["iters_per_sec_median"] == 50.0
+        for name in ("mfm_4mode", "chain_scaling", "baselines"):
+            assert "budget" in details[name]["error"]
+        skipped = [h for h in details["device_health"]
+                   if h["outcome"] == "skipped_budget"]
+        assert len(skipped) >= 3
+
+    @pytest.mark.slow
+    def test_detail_prewrite_and_health(self, tmp_path, monkeypatch, capsys):
+        """Every detail entry is written BEFORE its bench launches (so a
+        SIGKILL'd parent still leaves a record) and a crashing bench gets a
+        wedged_after attribution entry."""
+        sys.path.insert(0, ".")
+        import bench
+
+        monkeypatch.setenv("MFM_BENCH_INPROCESS", "1")
+        monkeypatch.delenv("MFM_BENCH_BUDGET_S", raising=False)
+        monkeypatch.setattr(bench, "wait_for_device", lambda *a, **k: True)
+        _patch_tiny_benches(monkeypatch, bench)
+        monkeypatch.setattr(bench, "probe_device_once", lambda *a, **k: False)
+
+        seen_prewrite = {}
+        real_isolated = bench.run_bench_isolated
+
+        def spying_isolated(name, timeout=0):
+            try:
+                details = json.loads(
+                    (tmp_path / "BENCH_DETAILS.json").read_text())
+            except OSError:  # headline runs before the first dump
+                details = {}
+            seen_prewrite[name] = "never returned" in str(
+                details.get(name, {}).get("error", ""))
+            if name == "chain_scaling":
+                return None, "bench child 'chain_scaling' rc=-9: boom"
+            return real_isolated(name, timeout=timeout)
+
+        monkeypatch.setattr(bench, "run_bench_isolated", spying_isolated)
+        monkeypatch.chdir(tmp_path)
+        bench.main()
+        details = json.loads((tmp_path / "BENCH_DETAILS.json").read_text())
+        assert all(seen_prewrite[n] for n in seen_prewrite if n != "headline")
+        assert "rc=-9" in details["chain_scaling"]["error"]
+        crash = [h for h in details["device_health"]
+                 if h["bench"] == "chain_scaling"][0]
+        assert crash["outcome"] == "error" and crash["wedged_after"] is True
 
     def test_run_bench_isolated_parses_child_output(self, monkeypatch):
         """Subprocess-path plumbing: tagged JSON line extraction, timeout,

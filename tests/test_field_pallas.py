@@ -146,7 +146,8 @@ class TestPallasFieldInDriver:
             hidden_x=(16,), hidden_t=(16,), hidden_xt=(16,), fourier_dim=8,
             ode_steps=4, mcmc_per_flow_steps=1.0, pallas_field=True,
         )
-        step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+        pieces = build_mfm(target, cfg, key)
+        step_fn, init_fn = pieces.step_fn, pieces.init_fn
         carry = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
         carry, m1 = step_fn(carry, (jax.random.PRNGKey(1), jnp.asarray(1)))
         carry, m2 = step_fn(carry, (jax.random.PRNGKey(2), jnp.asarray(2)))

@@ -197,7 +197,8 @@ class TestMFMKernelChoice:
             learning_iter=60, num_chain=32,
         )
         key = jax.random.PRNGKey(0)
-        step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+        pieces = build_mfm(target, cfg, key)
+        step_fn, init_fn = pieces.step_fn, pieces.init_fn
         carry = jax.jit(init_fn)(target.init_positions(key, cfg.num_chain))
 
         @jax.jit

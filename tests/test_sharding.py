@@ -49,7 +49,8 @@ class TestShardedMFMStep:
         target = four_mode_mixture()
         cfg = _tiny_cfg()
         key = jax.random.PRNGKey(0)
-        step_fn, init_fn, *_ = build_mfm(target, cfg, key)
+        pieces = build_mfm(target, cfg, key)
+        step_fn, init_fn = pieces.step_fn, pieces.init_fn
         carry0 = init_fn(target.init_positions(key, cfg.num_chain))
 
         @jax.jit
