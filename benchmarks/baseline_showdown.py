@@ -100,6 +100,11 @@ def run_cell(method, example, seed, cfg, target, n_eval, real):
                  wall_time_s=time.time() - t0)
     elif method == "smc":
         cfg.seed = seed
+        # every showdown target is flat-prior; the geometric bridge makes
+        # SMC's log_z a valid estimate of the target normalizer (the
+        # reference path's logZ carries a spurious -14.5-nat first term on
+        # 4-mode — see config.smc_path / targets.base.GeometricPath)
+        cfg.smc_path = "geometric"
         t0 = time.time()
         r = run_smc(target, cfg, key=jax.random.PRNGKey(seed))
         jax.block_until_ready(r.particles)
@@ -141,10 +146,15 @@ def aggregate(cells):
     return out
 
 
-def run_showdown(targets, methods, seeds, iters_scale=1.0, out_path=None):
+def run_showdown(targets, methods, seeds, iters_scale=1.0, out_path=None,
+                 resume=True):
     """Run the full (target x method x seed) grid; returns the artifact
     dict. ``out_path`` (optional) is rewritten incrementally after every
-    cell so a timeout still leaves a complete partial artifact."""
+    cell so a timeout still leaves a complete partial artifact. With
+    ``resume`` (default), an existing artifact at ``out_path`` is loaded
+    and ok cells are skipped — so the grid can be driven one
+    (target, method) at a time in separate processes and survive device
+    wedges without losing finished cells."""
     LOGZ_TRUE["many-well"] = quadrature_logz_many_well()
     out = {
         "protocol": {
@@ -156,6 +166,13 @@ def run_showdown(targets, methods, seeds, iters_scale=1.0, out_path=None):
         "cells": {},
         "tables": {},
     }
+    if resume and out_path and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        out["cells"].update(prev.get("cells", {}))
+        out["tables"].update(prev.get("tables", {}))
+        out["protocol"]["configs"].update(
+            prev.get("protocol", {}).get("configs", {}))
 
     def dump():
         if out_path:
@@ -181,6 +198,12 @@ def run_showdown(targets, methods, seeds, iters_scale=1.0, out_path=None):
             for seed in seeds:
                 cfg = preset(example, **tgt_over)
                 label = f"{example}/{method}/seed{seed}"
+                prev_cell = out["cells"].get(label)
+                if prev_cell is not None and "error" not in prev_cell:
+                    print(f"[showdown] {label}: reusing finished cell",
+                          flush=True)
+                    cells.append(prev_cell)
+                    continue
                 t0 = time.time()
                 try:
                     m = run_cell(method, example, seed, cfg, target,

@@ -42,6 +42,16 @@ def main(out_path="RESULTS_raw_many_well_inner_moves.json"):
     cfg = preset("many-well", seed=0)
     target = make_target("many-well")
 
+    # resume: reuse finished cells from an existing artifact (the tunnel
+    # wedges after ~10 min of sustained occupancy — WEDGE_LOG.jsonl — so
+    # the grid is driven to completion across multiple processes). The
+    # flow retrain is deterministic (seed 0), so resumed cells compose.
+    done = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        done = {(r["n_mcmc"], r["smc_seed"]): r for r in prev.get("rows", [])}
+
     t0 = time.time()
     run = run_mfm(target, cfg)
     jax.block_until_ready(run.train.params)
@@ -55,6 +65,10 @@ def main(out_path="RESULTS_raw_many_well_inner_moves.json"):
     }
     for n_mcmc in (1, 4, 16):
         for smc_seed in (100, 101, 102):
+            if (n_mcmc, smc_seed) in done:
+                rows.append(done[(n_mcmc, smc_seed)])
+                print("reusing", rows[-1], flush=True)
+                continue
             t0 = time.time()
             r = run_flow_smc(
                 target, cfg, run.transport, run.train.params, run.ref_dist,

@@ -93,6 +93,14 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
     cfg = preset("many-well", seed=0)
     target = make_target("many-well")
 
+    # resume: the tunnel wedges after ~10 min of sustained occupancy
+    # (WEDGE_LOG.jsonl), so finished delta grids / e2e rows are reused
+    # across processes; the seed-0 retrain is deterministic.
+    prev = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+
     t0 = time.time()
     run = run_mfm(target, cfg)
     jax.block_until_ready(run.train.params)
@@ -112,12 +120,15 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
         "log_z_true": float(logz_true),
         "train_time_s": round(t_train, 2),
         "base_log_z_grid24": float(base.log_z),
-        "delta": {},
-        "e2e": [],
+        "delta": dict(prev.get("delta", {})),
+        "e2e": list(prev.get("e2e", [])),
     }
 
     # (1)+(2): Delta under q0 and rho1 at three grids
     for n_steps in (24, 48, 96):
+        if str(n_steps) in out["delta"]:
+            print(n_steps, "reusing", out["delta"][str(n_steps)], flush=True)
+            continue
         tr = make_transport(
             run.apply_fn, divergence=cfg.divergence, n_steps=n_steps,
             method=cfg.ode_method,
@@ -130,10 +141,14 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
         with open(out_path, "w") as fh:  # survive a mid-grid device fault
             json.dump(out, fh, indent=2)
 
-    # (3): end-to-end logZ at finer transport grids
-    for n_steps in (48, 96):
+    # (3): end-to-end logZ at finer transport grids, plus the kill shot —
+    # exact_disc at the COARSE 24-step grid (the exact Jacobian of the
+    # discrete map: if the mechanism is the continuous-vs-discrete logdet
+    # mismatch, the bias vanishes with no grid refinement at all)
+    e2e_grid = [(24, "exact_disc"), (48, cfg.divergence), (96, cfg.divergence)]
+    for n_steps, div in e2e_grid:
         tr = make_transport(
-            run.apply_fn, divergence=cfg.divergence, n_steps=n_steps,
+            run.apply_fn, divergence=div, n_steps=n_steps,
             method=cfg.ode_method,
         )
         for smc_seed in (100, 101, 102):
@@ -145,6 +160,7 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
             jax.block_until_ready(r.samples)
             row = {
                 "ode_steps": n_steps,
+                "divergence": div,
                 "smc_seed": smc_seed,
                 "log_z": float(r.log_z),
                 "bias": float(r.log_z) - float(logz_true),
@@ -157,10 +173,12 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
 
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=2)
-    for n_steps in (48, 96):
-        b = [r["bias"] for r in out["e2e"] if r["ode_steps"] == n_steps]
+    for n_steps, div in e2e_grid:
+        b = [r["bias"] for r in out["e2e"]
+             if r["ode_steps"] == n_steps and r["divergence"] == div]
         print(
-            f"grid {n_steps}: bias {np.mean(b):+.3f} +/- {np.std(b):.3f}",
+            f"grid {n_steps} ({div}): bias {np.mean(b):+.3f} "
+            f"+/- {np.std(b):.3f}",
             flush=True,
         )
 

@@ -100,6 +100,22 @@ class MFMConfig:
     # MFM field's MLP config.
     flowmc_n_layers: Optional[int] = None
 
+    # SMC tempering path. "reference" keeps the reference convention
+    # (pi_beta ∝ exp(beta*log_lik + log_prior), exe_flow_matching.py:301)
+    # — but for flat-prior targets (the mixtures, many-well, phi-four:
+    # log_prior ≡ 0) the beta=0 endpoint is improper while particles
+    # initialize from N(0, I), so the logZ telescope picks up a spurious
+    # first term log E_{N(0,I)}[exp(delta_1*log_lik)] (measured: -14.5
+    # nats on 4-mode whose true logZ is 0; RESULTS.md round 5).
+    # "geometric" wraps the target as targets.base.GeometricPath —
+    # pi_beta ∝ N(0,I)^(1-beta) * p^beta — whose beta=0 endpoint IS the
+    # init distribution, making log_z a valid estimate of the target's
+    # log-normalizer. Samples at beta=1 target p either way; only the
+    # anneal route and the logZ meaning change. Proper-prior targets
+    # (pines) should keep "reference": their prior anneal is already
+    # valid and better-conditioned than an N(0,I) bridge.
+    smc_path: str = "reference"  # reference | geometric
+
     # waste-free SMC (Dau & Chopin 2022) for the SMC drivers: resample
     # M = num_chain / P ancestors per tempering step and keep all P chain
     # states per ancestor as the new particle system (reference declares

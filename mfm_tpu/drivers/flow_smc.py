@@ -254,21 +254,38 @@ def run_flow_smc(
         return (state, da, im), (info.log_likelihood_increment, mean_acc)
 
     @jax.jit
-    def run(state0, keys):
-        carry0 = (state0, da_init(cfg.step_size), jnp.ones(cfg.dim))
-        (state, *_), (log_z_inc, acc) = jax.lax.scan(
-            one_step, carry0, keys
-        )
-        return state, jnp.sum(log_z_inc), acc
+    def run_chunk(carry, keys):
+        carry, (log_z_inc, acc) = jax.lax.scan(one_step, carry, keys)
+        return carry, jnp.sum(log_z_inc), acc
 
+    # Chunk the anneal into host-level device round-trips (same pattern as
+    # drivers/mfm.py cfg.chunk_size). Semantics are identical — the scan
+    # carry passes through — but no single XLA execution runs longer than
+    # ~256 transport evaluations: single executions beyond a few device-
+    # minutes reproducibly fault the TPU tunnel (3/3 at num_mcmc_steps=16
+    # on many-well, 0 faults at 1/4 whose whole-anneal calls are ~100 s;
+    # WEDGE_LOG.jsonl round 5). Each tempering step costs ~(2 + n_mcmc)
+    # transport evals (module docstring).
+    chunk = max(1, min(n_steps, 256 // (2 + n_mcmc)))
     keys = jax.random.split(key_run, n_steps)
+
+    def run(state0):
+        carry = (state0, da_init(cfg.step_size), jnp.ones(cfg.dim))
+        log_z = jnp.zeros(())
+        accs = []
+        for i in range(0, n_steps, chunk):
+            carry, lz, acc = run_chunk(carry, keys[i : i + chunk])
+            log_z = log_z + lz
+            accs.append(acc)
+        return carry[0], log_z, jnp.concatenate(accs)
+
     if steady_timing:
         # benchmark mode: warm-compile with a full throwaway anneal so
         # train_time is the steady-state device time
-        warm = run(state0, keys)
+        warm = run(state0)
         jax.block_until_ready(warm)
     start = time.time()
-    state, log_z, acc = run(state0, keys)
+    state, log_z, acc = run(state0)
     jax.block_until_ready(state)
     train_time = time.time() - start
 

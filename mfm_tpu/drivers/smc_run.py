@@ -88,6 +88,16 @@ def run_smc(
         key = jax.random.PRNGKey(cfg.seed)
     key_init, key_run, key_harvest = jax.random.split(key, 3)
 
+    if cfg.smc_path == "geometric":
+        # valid logZ for flat-prior targets: temper along the geometric
+        # bridge N(0,I)^(1-beta) p^beta instead of the reference's improper
+        # flat-prior path (see targets.base.GeometricPath / config.smc_path)
+        from mfm_tpu.targets.base import GeometricPath
+
+        target = GeometricPath(target)
+    elif cfg.smc_path != "reference":
+        raise ValueError(f"unknown smc_path {cfg.smc_path!r}")
+
     adapt_step, adapt_mass, target_acc = cfg.resolved_adaptation()
     builder = _make_kernel_builder(cfg)
 

@@ -4,7 +4,7 @@ The ``REF_DISTS`` registry mirrors the reference's flow reference-distribution
 table (/root/reference/exe_flow_matching.py:48-54).
 """
 
-from mfm_tpu.targets.base import Target, as_logprob_fn
+from mfm_tpu.targets.base import GeometricPath, Target, as_logprob_fn
 from mfm_tpu.targets.cox import LogGaussianCoxPines
 from mfm_tpu.targets.gaussian import (
     FlatDistribution,
@@ -34,6 +34,7 @@ def make_ref_dist(name: str, dim: int) -> Target:
 
 __all__ = [
     "Target",
+    "GeometricPath",
     "as_logprob_fn",
     "IndepGaussian",
     "FlatDistribution",

@@ -112,6 +112,76 @@ def as_logprob_fn(target: Target, beta: Optional[jax.Array] = None):
     return lambda x: target.tempered_log_prob(jnp.atleast_1d(x), beta)
 
 
+class GeometricPath(Target):
+    """Reparametrize a target's tempering path around q0 = N(0, I).
+
+    The reference's tempering convention ``pi_beta ∝ exp(beta*log_lik +
+    log_prior)`` (exe_flow_matching.py:301) breaks the SMC log-normalizer
+    for flat-prior targets (GaussianMixture / ManyWell / PhiFour set
+    ``log_prior ≡ 0``, reference distributions.py:58): the beta=0 endpoint
+    is an improper flat measure, but particles initialize from N(0, I)
+    (distributions.py:69-71), so the telescoping logZ estimate picks up a
+    spurious first factor ``E_{N(0,I)}[exp(delta_1 * log_lik)]`` — measured
+    at -14.5 nats on the 4-mode benchmark whose true logZ is 0 (RESULTS.md
+    round 5, baseline showdown).
+
+    This wrapper redefines the lik/prior split as
+
+        log_prior'(x) = log N(x; 0, I)
+        log_lik'(x)   = log_prob(x) - log N(x; 0, I)
+
+    so the tempered family ``beta*log_lik' + log_prior'`` is the geometric
+    bridge ``N(0,I)^(1-beta) * p(x)^beta``: its beta=0 endpoint is exactly
+    the initial particle distribution and the SMC increments telescope to
+    the target's true log-normalizer. ``log_prob`` (and therefore every
+    beta=1 quantity) is unchanged.
+    """
+
+    def __init__(self, target: Target):
+        self.dim = target.dim
+        self._target = target
+
+    def _log_q0(self, x: jax.Array) -> jax.Array:
+        return -0.5 * jnp.sum(x * x, axis=-1) - 0.5 * self.dim * jnp.log(
+            2.0 * jnp.pi
+        )
+
+    def log_lik(self, x: jax.Array) -> jax.Array:
+        return self._target.log_prob(x) - self._log_q0(x)
+
+    def log_prior(self, x: jax.Array) -> jax.Array:
+        return self._log_q0(x)
+
+    def log_prob(self, x: jax.Array) -> jax.Array:
+        return self._target.log_prob(x)
+
+    def score(self, x: jax.Array) -> jax.Array:
+        return self._target.score(x)
+
+    def value_and_score(self, x: jax.Array):
+        return self._target.value_and_score(x)
+
+    def tempered_value_and_score(self, x: jax.Array, beta):
+        """(1-beta)*q0 + beta*p, with p's (possibly analytic) score reused."""
+        value, grad = self._target.value_and_score(x)
+        q0 = self._log_q0(x)
+        tv = beta * value + (1.0 - beta) * q0
+        tg = beta * grad - (1.0 - beta) * x
+        return tv, tg
+
+    def sample(self, key: jax.Array, shape=()) -> jax.Array:
+        return self._target.sample(key, shape)
+
+    @property
+    def can_sample(self) -> bool:
+        return self._target.can_sample
+
+    def init_positions(self, key: jax.Array, n_chain: int) -> jax.Array:
+        # the path's beta=0 endpoint — must be N(0, I) regardless of the
+        # wrapped target's own (possibly prior-based) init
+        return jax.random.normal(key, (n_chain, self.dim))
+
+
 class PriorReference(Target):
     """Flow reference distribution wrapping a target's own prior.
 
