@@ -46,6 +46,7 @@ import optax
 from mfm_tpu.flows.train import make_lr_schedule
 from mfm_tpu.flows.vector_field import make_vector_field
 from mfm_tpu.targets.base import Target
+from mfm_tpu.utils.pytree import host_chunked_scan
 
 
 def cos_sq_betas(n_steps: int, beta_min: float = 1e-3,
@@ -192,9 +193,13 @@ def run_dds(
         return jax.lax.scan(it, carry, keys)
 
     t0 = time.time()
-    (params, _, _), (losses, log_zs) = train(
+    # host-chunked (utils.pytree.host_chunked_scan): bounds each XLA
+    # execution under the TPU tunnel's multi-minute fault horizon
+    # (WEDGE_LOG.jsonl) at ~ms/iteration cost
+    (params, _, _), (losses, log_zs) = host_chunked_scan(
+        train,
         (params, opt.init(params), jnp.asarray(-1.0)),
-        jax.random.split(k_run, n_iter))
+        jax.random.split(k_run, n_iter), chunk=2048)
     losses.block_until_ready()
     train_time = time.time() - t0
 

@@ -39,6 +39,7 @@ import yaml
 
 from mfm_tpu.flows.coupling import make_coupling_flow
 from mfm_tpu.flows.train import make_lr_schedule
+from mfm_tpu.utils.pytree import host_chunked_scan
 from mfm_tpu.targets.base import Target
 
 _CONFIG_EXAMPLE = {
@@ -374,8 +375,13 @@ def run_fab(
     t0 = time.time()
     if use_buffer and min_batches > 0:
         carry = prefill(carry, jax.random.split(k_pre, min_batches))
-    carry, (losses, accs, log_zs) = train(
-        carry, jax.random.split(k_train, n_epoch))
+    # host-chunked: one whole-run scan at benchmark epoch counts is a
+    # multi-minute single XLA execution, which faults the TPU tunnel
+    # (WEDGE_LOG.jsonl r04: FAB many-well, ~200 s in). 256 epochs/chunk
+    # keeps each execution well under the fault horizon at every
+    # benchmark config (~60 ms/epoch on 4-mode, ~0.2 s on many-well).
+    carry, (losses, accs, log_zs) = host_chunked_scan(
+        train, carry, jax.random.split(k_train, n_epoch), chunk=256)
     losses.block_until_ready()
     train_time = time.time() - t0
     return FABResult(carry.params, flow, losses, accs, log_zs, train_time)

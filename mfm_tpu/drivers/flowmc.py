@@ -34,6 +34,7 @@ import optax
 from mfm_tpu.flows.coupling import make_coupling_flow
 from mfm_tpu.kernels import mala
 from mfm_tpu.targets.base import Target
+from mfm_tpu.utils.pytree import host_chunked_scan
 
 
 class FlowMCCarry(NamedTuple):
@@ -181,8 +182,12 @@ def run_flowmc(
     carry = buffer_insert(carry, init_states.position)
 
     t0 = time.time()
-    carry, (positions, acc_l, acc_g, losses) = run(
-        carry, jax.random.split(k_run, n_loop))
+    # host-chunked: each loop is local moves + a training round + global
+    # moves (~0.1-1 s); 128 loops/chunk keeps every XLA execution far
+    # under the tunnel's multi-minute fault horizon (utils.pytree.
+    # host_chunked_scan, WEDGE_LOG.jsonl)
+    carry, (positions, acc_l, acc_g, losses) = host_chunked_scan(
+        run, carry, jax.random.split(k_run, n_loop), chunk=128)
     positions.block_until_ready()
     train_time = time.time() - t0
     return FlowMCResult(carry.params, flow, positions, acc_l, acc_g,

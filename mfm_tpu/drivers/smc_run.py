@@ -178,7 +178,7 @@ def run_smc(
     carry0 = (state, da_init(cfg.step_size), jnp.ones(cfg.dim))
 
     @jax.jit
-    def run_phase(carry, keys):
+    def run_phase_chunk(c, keys):
         """Tempering phase: no particle history is materialized."""
 
         def body(c, k):
@@ -186,7 +186,19 @@ def run_smc(
             carry, info = adapted_step(carry, k)
             return (carry, logz + info.log_likelihood_increment), None
 
-        return jax.lax.scan(body, (carry, jnp.zeros(())), keys)[0]
+        return jax.lax.scan(body, c, keys)[0]
+
+    def run_phase(carry, keys):
+        # host-chunked (cfg.chunk_size steps per device round-trip, the
+        # drivers/mfm.py pattern): single XLA executions beyond a few
+        # device-minutes fault the TPU tunnel (WEDGE_LOG.jsonl), and the
+        # 10k-step benchmark configs would otherwise run as one call
+        c = (carry, jnp.zeros(()))
+        n = keys.shape[0]
+        chunk = max(1, min(cfg.chunk_size, n))
+        for i in range(0, n, chunk):
+            c = run_phase_chunk(c, keys[i : i + chunk])
+        return c
 
     @jax.jit
     def harvest_phase(carry, keys):

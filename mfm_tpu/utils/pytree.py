@@ -9,6 +9,28 @@ def pytree_size(tree) -> int:
     return sum(jnp.size(leaf) for leaf in jax.tree_util.tree_leaves(tree))
 
 
+def host_chunked_scan(fn, carry, xs, chunk):
+    """Drive a jitted ``fn(carry, xs_chunk) -> (carry, ys)`` scan in
+    host-level chunks of ``chunk`` leading-axis elements.
+
+    Semantically identical to one ``fn(carry, xs)`` call (the carry passes
+    through; ys re-concatenate along axis 0), but no single XLA execution
+    runs longer than a chunk. Single executions beyond a few device-minutes
+    reproducibly fault the remote-TPU tunnel (WEDGE_LOG.jsonl: 3/3 faults
+    on a ~300 s flow-SMC call, 0 faults on ~100 s calls), so every
+    whole-training-run scan routes through this. ``fn`` compiles at most
+    twice (full chunk + remainder shape)."""
+    n = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    chunk = max(1, min(int(chunk), n))
+    ys = []
+    for i in range(0, n, chunk):
+        carry, y = fn(carry, jax.tree.map(lambda a: a[i : i + chunk], xs))
+        ys.append(y)
+    if len(ys) == 1:
+        return carry, ys[0]
+    return carry, jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *ys)
+
+
 def ravel_batch(tree):
     """Flatten a pytree whose leaves share a leading batch axis to (B, D).
 
