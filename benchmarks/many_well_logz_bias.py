@@ -107,19 +107,26 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
     t_train = time.time() - t0
     params = run.train.params
 
-    # rho1-ish latents: one quick anneal at the preset grid
-    base = run_flow_smc(
-        target, cfg, run.transport, params, run.ref_dist,
-        key=jax.random.PRNGKey(100), n_particles=4096, n_steps=32,
-        num_mcmc_steps=4,
-    )
-    rho1_u = base.latent[:256]
+    # rho1-ish latents: one quick anneal at the preset grid (skipped on
+    # resume once every delta grid is measured — rho1_u feeds only those)
+    deltas_done = all(str(n) in prev.get("delta", {}) for n in (24, 48, 96))
+    if deltas_done:
+        base_log_z = prev.get("base_log_z_grid24")
+        rho1_u = None
+    else:
+        base = run_flow_smc(
+            target, cfg, run.transport, params, run.ref_dist,
+            key=jax.random.PRNGKey(100), n_particles=4096, n_steps=32,
+            num_mcmc_steps=4,
+        )
+        base_log_z = float(base.log_z)
+        rho1_u = base.latent[:256]
     q0_u = run.ref_dist.sample(jax.random.PRNGKey(7), (256,))
 
     out = {
         "log_z_true": float(logz_true),
         "train_time_s": round(t_train, 2),
-        "base_log_z_grid24": float(base.log_z),
+        "base_log_z_grid24": base_log_z,
         "delta": dict(prev.get("delta", {})),
         "e2e": list(prev.get("e2e", [])),
     }
@@ -146,12 +153,27 @@ def main(out_path="RESULTS_raw_many_well_logz_bias.json"):
     # discrete map: if the mechanism is the continuous-vs-discrete logdet
     # mismatch, the bias vanishes with no grid refinement at all)
     e2e_grid = [(24, "exact_disc"), (48, cfg.divergence), (96, cfg.divergence)]
+    # per-process cell quota: the tunnel faults after ~10-12 min of
+    # cumulative device work in ONE process (WEDGE_LOG.jsonl), so a driver
+    # reruns this script (resuming from the artifact) until the grid is
+    # full; exit code 3 = quota hit, more cells remain
+    max_cells = int(os.environ.get("MFM_MAX_CELLS", "3"))
+    new_cells = 0
+    have = {(r["ode_steps"], r["divergence"], r["smc_seed"])
+            for r in out["e2e"]}
     for n_steps, div in e2e_grid:
         tr = make_transport(
             run.apply_fn, divergence=div, n_steps=n_steps,
             method=cfg.ode_method,
         )
         for smc_seed in (100, 101, 102):
+            if (n_steps, div, smc_seed) in have:
+                continue
+            if new_cells >= max_cells:
+                print(f"cell quota ({max_cells}) hit; rerun to continue",
+                      flush=True)
+                sys.exit(3)
+            new_cells += 1
             r = run_flow_smc(
                 target, cfg, tr, params, run.ref_dist,
                 key=jax.random.PRNGKey(smc_seed), n_particles=4096,

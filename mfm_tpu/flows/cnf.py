@@ -31,12 +31,15 @@ Divergence estimators (reference exe_flow_matching.py:211-217):
                  Delta(u). Any density built from the continuous estimate —
                  IS weights, flow-MH acceptance, flow-SMC tempering — then
                  targets a tilted surrogate whose normalizer is off by
-                 log E[exp(Delta)], a bias invisible to seed replication
-                 (measured: -1.2 nats on the d=32 many-well at 24 RK4
-                 steps, RESULTS_raw_many_well_logz_bias.json). ``exact_disc``
-                 removes it identically at ~the same FLOP count as
-                 ``exact`` (d whole-map JVPs vs d per-stage JVPs) plus a
-                 (B, d, d) slogdet — small-d only by memory.
+                 log E[exp(Delta)]. Measured on the d=32 many-well at the
+                 preset 24 RK4 steps, Delta is ~+2e-4 nats with the O(h^4)
+                 grid decay (RESULTS_raw_many_well_logz_bias.json) — real
+                 but negligible at benchmark grids, and in particular NOT
+                 the source of that target's -1.2-nat flow-SMC logZ bias
+                 (RESULTS.md round 5). ``exact_disc`` removes it
+                 identically at ~the same FLOP count as ``exact`` (d
+                 whole-map JVPs vs d per-stage JVPs) plus a (B, d, d)
+                 slogdet — small-d only by memory.
 """
 
 from typing import Callable, NamedTuple, Optional
