@@ -347,3 +347,32 @@ class TestNewExamplesCLI:
         )
         out = capsys.readouterr().out
         assert "logprob" in out and "\\pm" in out
+
+
+class TestHostChunkedScan:
+    """host_chunked_scan must be bit-identical to one lax.scan call — it
+    exists purely to bound single-XLA-execution length (WEDGE_LOG.jsonl)."""
+
+    def _fn(self):
+        @jax.jit
+        def f(carry, keys):
+            def body(c, k):
+                c = c + jax.random.normal(k, c.shape)
+                return c, (c.sum(), c.min())
+
+            return jax.lax.scan(body, carry, keys)
+
+        return f
+
+    @pytest.mark.parametrize("chunk", [1, 3, 7, 100])
+    def test_matches_single_scan(self, chunk):
+        from mfm_tpu.utils.pytree import host_chunked_scan
+
+        f = self._fn()
+        carry0 = jnp.zeros(4)
+        keys = jax.random.split(jax.random.PRNGKey(0), 7)
+        ref_carry, ref_ys = f(carry0, keys)
+        carry, ys = host_chunked_scan(f, carry0, keys, chunk=chunk)
+        assert jnp.array_equal(carry, ref_carry)
+        for a, b in zip(ys, ref_ys):
+            assert jnp.array_equal(a, b)
