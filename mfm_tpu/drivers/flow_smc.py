@@ -163,6 +163,7 @@ def run_flow_smc(
     num_mcmc_steps: Optional[int] = None,
     inner_kernel: Optional[str] = None,
     steady_timing: bool = False,
+    chunk_steps: Optional[int] = None,
 ) -> FlowSMCResult:
     """Anneal q0 --T--> pi with ``n_steps`` adaptive tempering steps.
 
@@ -265,8 +266,12 @@ def run_flow_smc(
     # minutes reproducibly fault the TPU tunnel (3/3 at num_mcmc_steps=16
     # on many-well, 0 faults at 1/4 whose whole-anneal calls are ~100 s;
     # WEDGE_LOG.jsonl round 5). Each tempering step costs ~(2 + n_mcmc)
-    # transport evals (module docstring).
-    chunk = max(1, min(n_steps, 256 // (2 + n_mcmc)))
+    # transport evals (module docstring). The auto formula assumes the
+    # preset 24-step transport — pass ``chunk_steps`` explicitly for
+    # costlier transports (finer ODE grids, exact_disc) where an eval is
+    # a multiple of that (the 48-step grid faulted under the auto value,
+    # WEDGE_LOG.jsonl).
+    chunk = chunk_steps or max(1, min(n_steps, 256 // (2 + n_mcmc)))
     keys = jax.random.split(key_run, n_steps)
 
     def run(state0):
