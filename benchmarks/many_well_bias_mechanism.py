@@ -12,13 +12,19 @@ pullback whose mode weights the flow gets wrong (KSD-blind, RESULTS.md
 round 3), the per-step weights are heavy-tailed and the tilt is O(1) while
 seed-to-seed spread stays small — exactly the observed signature.
 
-This script measures the two dose-responses that discriminate it, on a
+This script measures the dose-responses that discriminate it, on a
 d-configurable many-well (d=8 runs on the CPU mesh in minutes; same
 quadrature truth formula):
 
-1. bias vs n_steps in {16, 32, 64, 128}  (fixed N)   — prediction: shrinks
-2. bias vs N in {1024, 4096, 16384}      (fixed n_steps) — prediction: shrinks
-3. plain-SMC geometric-bridge control (no flow)      — prediction: unbiased
+1. bias vs alpha in {0.95, 0.99, 0.999} (fixed N) — the ESS target that
+   actually controls anneal resolution: the adaptive schedule saturates
+   lambda=1 well inside the n_steps cap, so raising the CAP is a no-op
+   (measured: bit-identical logZ at n_steps 16 vs 32 on d=8 — the first
+   16 of split(key, 32) are the first 16 counters, and post-saturation
+   steps add exactly-zero increments). Higher alpha = smaller per-step
+   delta = lower per-step weight variance — prediction: bias shrinks.
+2. bias vs N in {1024, 4096, 16384} (fixed alpha) — prediction: shrinks.
+3. plain-SMC geometric-bridge control (no flow) — prediction: unbiased.
 
 Usage:
   python benchmarks/many_well_bias_mechanism.py [out.json] [--dim 8]
@@ -85,7 +91,7 @@ def main():
     jax.block_until_ready(run.train.params)
 
     rows = list(prev.get("rows", []))
-    have = {(r["kind"], r["n_steps"], r["n_particles"], r["seed"])
+    have = {(r["kind"], r["alpha"], r["n_particles"], r["seed"])
             for r in rows}
     out = {
         "dim": args.dim,
@@ -95,36 +101,48 @@ def main():
     }
 
     grid = (
-        # (1) anneal-resolution dose-response at fixed N
-        [("flow_smc", n, 4096) for n in (16, 32, 64, 128)]
-        # (2) particle dose-response at fixed n_steps
-        + [("flow_smc", 32, n) for n in (1024, 16384)]
+        # (1) anneal-resolution dose-response at fixed N: alpha is the
+        # knob (per-step ESS target of the bisection, smc/ess.py);
+        # n_steps scales as the cap so the finer schedules can finish
+        [("flow_smc", a, 4096) for a in (0.9, 0.95, 0.99)]
+        # (2) particle dose-response at the preset alpha
+        + [("flow_smc", 0.95, n) for n in (1024, 16384)]
         # (3) no-flow control: plain SMC on the geometric bridge
-        + [("plain_smc_geometric", 0, 4096)]
+        + [("plain_smc_geometric", 0.95, 4096)]
     )
-    for kind, n_steps, n_particles in grid:
+    # per-process cell quota (tunnel fault horizon; WEDGE_LOG.jsonl)
+    max_cells = int(os.environ.get("MFM_MAX_CELLS", "4"))
+    new_cells = 0
+    for kind, alpha, n_particles in grid:
+        n_cap = {0.9: 32, 0.95: 32, 0.99: 160}[alpha]
         for seed in seeds:
-            if (kind, n_steps, n_particles, seed) in have:
+            if (kind, alpha, n_particles, seed) in have:
                 continue
+            if new_cells >= max_cells:
+                print(f"cell quota ({max_cells}) hit; rerun to continue",
+                      flush=True)
+                sys.exit(3)
+            new_cells += 1
             t0 = time.time()
             if kind == "flow_smc":
+                fcfg = preset("many-well", seed=0, alpha=alpha)
+                fcfg.dim = args.dim
                 r = run_flow_smc(
-                    target, cfg, run.transport, run.train.params,
+                    target, fcfg, run.transport, run.train.params,
                     run.ref_dist, key=jax.random.PRNGKey(seed),
-                    n_particles=n_particles, n_steps=n_steps,
-                    num_mcmc_steps=1,
+                    n_particles=n_particles, n_steps=n_cap,
+                    num_mcmc_steps=1, chunk_steps=32,
                 )
                 log_z, lmbda = float(r.log_z), float(r.lmbda)
             else:
-                scfg = preset("many-well", seed=seed,
-                              learning_iter=max(64, 2 * 32),
-                              num_chain=n_particles)
+                scfg = preset("many-well", seed=seed, learning_iter=64,
+                              num_chain=n_particles, alpha=alpha)
                 scfg.dim = args.dim
                 scfg.smc_path = "geometric"
                 r = run_smc(target, scfg, key=jax.random.PRNGKey(seed))
                 log_z, lmbda = float(r.log_z), float(r.lmbda)
             row = {
-                "kind": kind, "n_steps": n_steps,
+                "kind": kind, "alpha": alpha,
                 "n_particles": n_particles, "seed": seed,
                 "log_z": log_z, "bias": log_z - float(logz_true),
                 "lmbda": lmbda, "time_s": round(time.time() - t0, 2),
@@ -134,11 +152,11 @@ def main():
             with open(args.out, "w") as fh:
                 json.dump(out, fh, indent=2)
 
-    for kind, n_steps, n_particles in grid:
+    for kind, alpha, n_particles in grid:
         b = [r["bias"] for r in rows
-             if (r["kind"], r["n_steps"], r["n_particles"])
-             == (kind, n_steps, n_particles)]
-        print(f"{kind} n_steps={n_steps} N={n_particles}: "
+             if (r["kind"], r["alpha"], r["n_particles"])
+             == (kind, alpha, n_particles)]
+        print(f"{kind} alpha={alpha} N={n_particles}: "
               f"bias {np.mean(b):+.3f} +/- {np.std(b):.3f}", flush=True)
 
 
