@@ -7,6 +7,7 @@ MMD vs ground-truth samples when the target has an exact sampler, and the
 ``check`` floor computed from real samples against themselves.
 """
 
+import os
 from typing import Optional
 
 import jax
@@ -45,11 +46,20 @@ def evaluate_samples(
     Pass an explicit ``True`` to force the fast path at high dim. The
     weighted-Stein variant always uses the XLA path. Every row records
     which kernel path produced it (``metrics_kernel``).
+
+    Env override ``MFM_PALLAS_METRICS=0|1`` beats the auto rule (not an
+    explicit argument) — the operational quarantine knob for the wedge
+    experiment of VERDICT r4 weak #2 / WEDGE_LOG.jsonl.
     """
     if pallas_metrics is None:
-        pallas_metrics = (
-            jax.default_backend() == "tpu" and flow_samples.shape[-1] < 1024
-        )
+        env = os.environ.get("MFM_PALLAS_METRICS")
+        if env is not None:
+            pallas_metrics = env not in ("0", "false", "")
+        else:
+            pallas_metrics = (
+                jax.default_backend() == "tpu"
+                and flow_samples.shape[-1] < 1024
+            )
     if pallas_metrics:
         from mfm_tpu.ops.pairwise_pallas import (
             max_mean_disc_pallas as mmd_fn,
