@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--seeds", default="0,1,1024")
     ap.add_argument("--group-timeout", type=float, default=2400)
     ap.add_argument("--max-recovery", type=float, default=1800)
+    ap.add_argument("--no-final-pass", action="store_true",
+                    help="skip the aggregate-only rebuild pass (useful when "
+                         "driving single cells in a priority sequence — the "
+                         "pass still initializes the device and can hang for "
+                         "group-timeout on a wedged tunnel)")
     args = ap.parse_args()
 
     def done_cells():
@@ -97,13 +102,19 @@ def main():
                       f"cell_ok={ok} ({time.time() - t0:.0f}s)", flush=True)
     # final aggregate-only pass: per-seed children leave 1-seed tables, so
     # rebuild every table from the full seed set (pure cell reuse — no
-    # device work beyond import)
-    subprocess.run(
-        [sys.executable, os.path.join(HERE, "baseline_showdown.py"),
-         args.out, "--targets", args.targets, "--methods", args.methods,
-         "--seeds", args.seeds],
-        timeout=args.group_timeout,
-    )
+    # device work beyond import). render_showdown.py::rebuild_tables does
+    # the same aggregation host-side for RESULTS.md, so --no-final-pass
+    # loses nothing when the artifact is only consumed through the renderer.
+    if not args.no_final_pass:
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(HERE, "baseline_showdown.py"),
+                 args.out, "--targets", args.targets, "--methods",
+                 args.methods, "--seeds", args.seeds],
+                timeout=args.group_timeout,
+            )
+        except subprocess.TimeoutExpired:
+            outcomes["final_pass"] = "timeout"
     print(json.dumps({"grid_outcomes": outcomes}))
 
 
