@@ -130,6 +130,15 @@ def run_one(target, cfg, args):
                 "flow_smc_lmbda": float(r.lmbda),
                 "flow_smc_ess_fraction": float(r.ess_fraction),
             })
+        elif getattr(args, "defensive_alpha", 1.0) < 1.0:
+            from mfm_tpu.drivers.mfm import sample_flow_defensive
+            from mfm_tpu.targets import IndepGaussian
+
+            flow_samples, exact_samples, _ = sample_flow_defensive(
+                run, key_eval, n_eval, target,
+                IndepGaussian(cfg.dim, var=args.defensive_var),
+                alpha=args.defensive_alpha,
+            )
         else:
             flow_samples, exact_samples, _ = sample_flow(
                 run, key_eval, n_eval, target
@@ -310,6 +319,16 @@ def main(argv=None):
                         "flow-annealed SMC steps in the flow's latent space "
                         "(* columns become the annealed weighted ensemble; "
                         "also logs the log-normalizer estimate)")
+    p.add_argument("--defensive-alpha", type=float, default=1.0,
+                   help="final-IS proposal mixture weight on the flow: "
+                        "q = a*q_flow + (1-a)*N(0, defensive_var*I). "
+                        "a < 1 bounds every importance weight at "
+                        "pi/((1-a) q_def), repairing the heavy-tailed-"
+                        "weight finite-N logZ tilt (RESULTS.md round 5); "
+                        "default 1.0 = pure flow (reference behavior)")
+    p.add_argument("--defensive-var", type=float, default=4.0,
+                   help="variance of the defensive component (with "
+                        "--defensive-alpha < 1)")
     args = p.parse_args(argv)
 
     non_mfm = [

@@ -587,6 +587,92 @@ def sample_flow(run: MFMRun, key: jax.Array, n_samples: int, target: Target):
     )
 
 
+def sample_flow_defensive_parts(
+    transport,
+    params,
+    ref_dist: Target,
+    key: jax.Array,
+    n_samples: int,
+    target: Target,
+    defensive_dist: Target,
+    alpha: float = 0.9,
+):
+    """Defensive-mixture IS correction: propose from
+    ``q_mix = a*q_flow + (1-a)*q_def`` instead of the flow alone.
+
+    The round-5 many-well mechanism result (RESULTS.md "the many-well
+    -1.2-nat logZ loop, closed") isolated the one-shot estimator's logZ
+    deficit as a finite-N tilt under heavy-tailed pullback weights: where
+    the flow underweights a mode, ``pi/q_flow`` explodes and
+    ``logsumexp(log w) - log N`` undershoots until N covers the tail.
+    Mixing in a wide defensive component (Hesterberg 1995) bounds every
+    weight at ``pi(x) / ((1-a) q_def(x))``, removing the tail by
+    construction rather than by sample count. No reference counterpart
+    (the reference's final-IS block, exe_flow_matching.py:453-459, is the
+    pure-flow ``alpha=1`` special case).
+
+    Sampling is deterministically stratified — ``round((1-alpha) n)``
+    draws from the defensive component, the rest through the flow (static
+    shapes under jit) — and the mixture density uses the realized
+    fractions, which keeps the balance-heuristic estimator unbiased under
+    the rounding. Flow density at defensive points comes from one extra
+    ``transport.inverse`` pass on the (small) defensive batch.
+
+    Returns (mixture_samples, exact_samples, log_weights).
+    """
+    from mfm_tpu.drivers.baselines import is_resample
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    n_def = int(round((1.0 - alpha) * n_samples))
+    if n_def == 0:
+        return sample_flow_parts(
+            transport, params, ref_dist, key, n_samples, target
+        )
+    n_flow = n_samples - n_def
+    k_ref, k_fwd, k_def, k_inv, k_choice = jax.random.split(key, 5)
+
+    u = ref_dist.sample(k_ref, (n_flow,))
+    x_f, logdet_f = transport.forward(params, u, k_fwd)
+    log_qf_f = ref_dist.log_prob(u) - logdet_f
+
+    x_d = defensive_dist.sample(k_def, (n_def,))
+    u_d, logdet_d = transport.inverse(params, x_d, k_inv)
+    log_qf_d = ref_dist.log_prob(u_d) - logdet_d
+
+    x = jnp.concatenate([x_f, x_d], axis=0)
+    log_qf = jnp.concatenate([log_qf_f, log_qf_d], axis=0)
+    log_qd = defensive_dist.log_prob(x)
+
+    a_real = n_flow / n_samples  # realized fraction, not the nominal alpha
+    log_qmix = jnp.logaddexp(
+        jnp.log(a_real) + log_qf, jnp.log1p(-a_real) + log_qd
+    )
+    logpdf = target.log_prob(x)
+    exact_samples, log_w = is_resample(k_choice, x, logpdf, log_qmix)
+    return x, exact_samples, log_w
+
+
+def sample_flow_defensive(
+    run: MFMRun,
+    key: jax.Array,
+    n_samples: int,
+    target: Target,
+    defensive_dist: Target,
+    alpha: float = 0.9,
+):
+    return sample_flow_defensive_parts(
+        run.transport,
+        run.train.params,
+        run.ref_dist,
+        key,
+        n_samples,
+        target,
+        defensive_dist,
+        alpha,
+    )
+
+
 def sample_flow_move(
     run: MFMRun,
     key: jax.Array,
