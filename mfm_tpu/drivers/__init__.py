@@ -10,6 +10,7 @@ from mfm_tpu.drivers.mfm import (
     next_beta,
     run_mfm,
     sample_flow,
+    sample_flow_defensive,
     sample_flow_move,
     tempered_value_and_score,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "next_beta",
     "run_mfm",
     "sample_flow",
+    "sample_flow_defensive",
     "sample_flow_move",
     "tempered_value_and_score",
     "SMCRunResult",
